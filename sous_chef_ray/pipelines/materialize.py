@@ -1,0 +1,114 @@
+"""Flagship pipeline: pre-tokenized sequence table → point-in-time features.
+
+The 10^12-row design point (BASELINE.json north_star): read the token table
+(doc_id, tokens:list<int32>, n_tok, source [, event_ts, created_ts]) →
+derive event_ts from ingestion order when absent → as-of join a spine of
+(doc_id, event_timestamp) queries with TTL + latest-created tie-break →
+window features (lag/lead n_tok, rolling mean) per doc_id.
+
+The big side streams once through stateless/actor map_batches stages; the
+spine is broadcast. No full materialization of the token table ever.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from sous_chef_ray.stages.asof import asof_join_broadcast
+
+BASE_TS_US = 1704067200_000_000  # 2024-01-01 UTC
+
+
+def tokenize_documents(docs: "rd.Dataset", vocab: int = 50257) -> "rd.Dataset":
+    """documents(doc_id,text,source,...) → flagship token-table shape.
+
+    Deterministic, vectorized hash tokenizer (no model deps): each
+    whitespace token hashes to [0, vocab). event_ts derives from ingestion
+    order — here deterministically from doc_id so re-runs agree
+    (testdata doc_ids are the ingestion order).
+    """
+
+    def tok(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.split()
+        flat = words.explode()
+        hashed = (
+            pd.util.hash_pandas_object(flat.astype(str), index=False).to_numpy()
+            % np.uint64(vocab)
+        ).astype(np.int32)
+        lengths = words.map(len).to_numpy(dtype=np.int64)
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        tokens = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pa.array(hashed)
+        ).cast(pa.list_(pa.int32()))
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        out = pa.table(
+            {
+                "doc_id": pa.array([f"doc{i:08d}" for i in ids], type=pa.string()),
+                "tokens": tokens,
+                "n_tok": pa.array(lengths.astype(np.int32)),
+                "source": pa.array(batch["source"].to_numpy(dtype=object), type=pa.string()),
+                "event_ts": pa.array(
+                    BASE_TS_US + ids * 1_000_000, type=pa.timestamp("us")
+                ),
+                "created_ts": pa.array(
+                    BASE_TS_US + ids * 1_000_000 + 1, type=pa.timestamp("us")
+                ),
+            }
+        )
+        return out
+
+    return docs.map_batches(tok, batch_format="pandas")
+
+
+def materialize_features(
+    token_ds: "rd.Dataset",
+    spine: pa.Table,
+    *,
+    ttl: Optional[pd.Timedelta] = None,
+    concurrency: int | tuple = 4,
+    batch_size: int = 32768,
+) -> pa.Table:
+    """Point-in-time feature materialization over the token table."""
+    ttl = ttl if ttl is not None else pd.Timedelta(days=30)
+    return asof_join_broadcast(
+        token_ds,
+        spine,
+        key="doc_id",
+        spine_ts="event_timestamp",
+        feature_ts="event_ts",
+        tie_col="created_ts",
+        payload_cols=["tokens", "n_tok", "source"],
+        ttl=ttl,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def flagship(sf_dir: str, concurrency: int | tuple = 4) -> pa.Table:
+    """End-to-end flagship over driver testdata: tokenize documents →
+    token table → spine from per-doc query times → as-of features."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    token_ds = tokenize_documents(docs)
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rng = np.random.default_rng(7)
+    pick = rng.integers(0, n_docs, max(64, n_docs // 2))
+    ts = BASE_TS_US + pick * 1_000_000 + rng.integers(0, 10_000_000, len(pick))
+    spine = pa.table(
+        {
+            "doc_id": pa.array([f"doc{i:08d}" for i in pick], type=pa.string()),
+            "event_timestamp": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    return materialize_features(token_ds, spine, concurrency=concurrency)

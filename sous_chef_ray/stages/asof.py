@@ -1,0 +1,340 @@
+"""Point-in-time (as-of) join — the engine's flagship operator.
+
+Semantics (the behavioral contract the reference delegates to Feast,
+SURVEY §2.B2, reference evidence:
+examples/customer_analytics_demo/customer_metrics.py:127-130): for each
+spine row (key, ts) return the feature row with the largest feature_ts <= ts
+subject to feature_ts >= ts - ttl, else typed nulls; ties on
+(key, feature_ts) are broken by the largest created/tie column
+(latest-per-key dedup, reference: sous_chef.py:41).
+
+Two physical strategies, both streaming:
+
+* ``asof_join_broadcast`` — the spine (entity dataframe) is small relative
+  to the feature table (the common point-in-time-retrieval shape). The
+  spine is ``ray.put`` ONCE and read once per actor in ``__init__``; the
+  big feature table streams through a stateless-per-batch sorted
+  ``pd.merge_asof`` that emits at most one candidate row per spine row per
+  batch; a final (tiny) reduce picks the max (feature_ts, tie) candidate
+  per spine row. The 10^12-row side is read exactly once, never shuffled,
+  never materialized.
+
+* ``asof_join_partitioned`` — both sides large: hash-bucket co-partition
+  on the key (same bucket count both sides), union with a side tag, and
+  run a per-bucket sorted merge inside ``groupby(bucket).map_groups``.
+  Partitioning assumption: a key's rows never straddle buckets (guaranteed
+  by hashing the key itself).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _ts_to_int(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] / int column → int64 numpy (no copy when possible)."""
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    elif not pa.types.is_integer(arr.type):
+        arr = arr.cast(pa.int64())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False)
+
+
+class _AsofCandidates:
+    """Actor-pool stage: per feature batch, emit the best candidate per
+    spine row present in the batch. Spine is fetched from the object store
+    once per actor (broadcast), sorted once in __init__."""
+
+    def __init__(
+        self,
+        spine_ref,
+        key: str,
+        feature_ts: str,
+        tie_col: Optional[str],
+        payload_cols: List[str],
+        ttl_us: Optional[int],
+    ):
+        spine: pd.DataFrame = ray.get(spine_ref)  # columns: key, __ts__, __spine_idx__
+        self.spine = spine.sort_values("__ts__", kind="mergesort").reset_index(drop=True)
+        self.key = key
+        self.feature_ts = feature_ts
+        self.tie_col = tie_col
+        self.payload_cols = payload_cols
+        self.ttl_us = ttl_us
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        small = pd.DataFrame(
+            {
+                self.key: batch[self.key].to_numpy(zero_copy_only=False),
+                "__fts__": _ts_to_int(batch[self.feature_ts]),
+                "__row__": np.arange(n, dtype=np.int64),
+            }
+        )
+        if self.tie_col is not None:
+            small["__tie__"] = _ts_to_int(batch[self.tie_col])
+            # stable two-pass sort: within equal __fts__ ascending __tie__,
+            # so merge_asof (which keeps the LAST of equal keys) applies the
+            # latest-created tie-break for free
+            small = small.sort_values("__tie__", kind="mergesort")
+        else:
+            small["__tie__"] = small["__fts__"]
+        small = small.sort_values("__fts__", kind="mergesort")
+
+        merged = pd.merge_asof(
+            self.spine,
+            small,
+            left_on="__ts__",
+            right_on="__fts__",
+            by=self.key,
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=self.ttl_us,
+        )
+        hit = merged["__row__"].notna()
+        if not hit.any():
+            # empty candidate table with the right schema
+            empty = batch.select(self.payload_cols).slice(0, 0)
+            return empty.append_column(
+                "__spine_idx__", pa.array([], type=pa.int64())
+            ).append_column("__fts__", pa.array([], type=pa.int64())).append_column(
+                "__tie__", pa.array([], type=pa.int64())
+            )
+        rows = merged.loc[hit, "__row__"].to_numpy().astype(np.int64)
+        out = batch.select(self.payload_cols).take(pa.array(rows))
+        out = out.append_column(
+            "__spine_idx__",
+            pa.array(merged.loc[hit, "__spine_idx__"].to_numpy().astype(np.int64)),
+        )
+        out = out.append_column(
+            "__fts__", pa.array(merged.loc[hit, "__fts__"].to_numpy().astype(np.int64))
+        )
+        out = out.append_column(
+            "__tie__", pa.array(merged.loc[hit, "__tie__"].to_numpy().astype(np.int64))
+        )
+        return out
+
+
+def asof_join_broadcast(
+    features: "ray.data.Dataset",
+    spine: pa.Table,
+    *,
+    key: str = "doc_id",
+    spine_ts: str = "event_timestamp",
+    feature_ts: str = "event_ts",
+    tie_col: Optional[str] = None,
+    payload_cols: Optional[List[str]] = None,
+    ttl: Optional[pd.Timedelta] = None,
+    concurrency: int | tuple = 4,
+    batch_size: int = 32768,
+) -> pa.Table:
+    """Point-in-time join of a big feature Dataset onto a small spine.
+
+    Returns an Arrow table with the spine's columns plus ``payload_cols``
+    (typed nulls where no feature row qualifies). Spine-sized output, so a
+    driver-side result is appropriate; the feature side streams.
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in features.schema().names if c not in (key, feature_ts, tie_col)
+        ]
+    ttl_us = None
+    if ttl is not None:
+        ttl_us = int(pd.Timedelta(ttl).value // 1000)  # ns → us
+
+    spine_keys = spine[key].to_numpy(zero_copy_only=False)
+    spine_small = pd.DataFrame(
+        {
+            key: spine_keys,
+            "__ts__": _ts_to_int(spine[spine_ts]),
+            "__spine_idx__": np.arange(len(spine), dtype=np.int64),
+        }
+    )
+    spine_ref = ray.put(spine_small)
+
+    cands = features.map_batches(
+        _AsofCandidates,
+        fn_constructor_kwargs=dict(
+            spine_ref=spine_ref,
+            key=key,
+            feature_ts=feature_ts,
+            tie_col=tie_col,
+            payload_cols=payload_cols,
+            ttl_us=ttl_us,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    # Reduce: best candidate per spine row. Candidate count is bounded by
+    # (spine rows x feature blocks containing that key); with the spine
+    # small this is driver-friendly. A lexsort + last-per-group is exact.
+    batches = [b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow")]
+    cand_tbl = pa.concat_tables(batches, promote_options="default") if batches else None
+
+    schema_map = {f.name: f.type for f in features.schema().base_schema}
+    out_cols = {name: spine[name] for name in spine.column_names}
+    n_spine = len(spine)
+
+    if cand_tbl is None or len(cand_tbl) == 0:
+        for c in payload_cols:
+            out_cols[c] = pa.nulls(n_spine, type=schema_map[c])
+        return pa.table(out_cols)
+
+    sidx = cand_tbl["__spine_idx__"].to_numpy()
+    fts = cand_tbl["__fts__"].to_numpy()
+    tie = cand_tbl["__tie__"].to_numpy()
+    order = np.lexsort((tie, fts, sidx))  # ascending; last per sidx wins
+    sidx_sorted = sidx[order]
+    last_mask = np.empty(len(sidx_sorted), dtype=bool)
+    last_mask[:-1] = sidx_sorted[1:] != sidx_sorted[:-1]
+    last_mask[-1] = True
+    best_rows = order[last_mask]
+    best_sidx = sidx[best_rows]
+
+    # scatter best candidates into spine-aligned arrays
+    pos = np.full(n_spine, -1, dtype=np.int64)
+    pos[best_sidx] = best_rows
+    have = pos >= 0
+    take_idx = pa.array(np.where(have, pos, 0), type=pa.int64())
+    valid = pa.array(have)
+    for c in payload_cols:
+        taken = cand_tbl[c].combine_chunks().take(take_idx)
+        out_cols[c] = pc.if_else(valid, taken, pa.nulls(n_spine, type=schema_map[c]))
+    return pa.table(out_cols)
+
+
+def _key_hash(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
+    """Deterministic uint64 hash of a key column → bucket ids (vectorized)."""
+    vals = arr.to_pandas() if isinstance(arr, (pa.ChunkedArray, pa.Array)) else arr
+    h = pd.util.hash_pandas_object(pd.Series(vals), index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def asof_join_partitioned(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str = "doc_id",
+    left_ts: str = "event_timestamp",
+    right_ts: str = "event_ts",
+    tie_col: Optional[str] = None,
+    payload_cols: Optional[List[str]] = None,
+    ttl: Optional[pd.Timedelta] = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """As-of join where both sides are large.
+
+    Hash-bucket co-partition (deterministic uint64 key hash % num_buckets,
+    same bucketing both sides so a key's rows never straddle buckets) →
+    union with a side tag → one sorted merge per bucket inside
+    ``groupby('__bucket__').map_groups`` (Arrow in / Arrow out; only the
+    (key, ts) index frame goes through pandas merge_asof, payloads move by
+    Arrow take — list/token columns stay zero-copy). Skew is handled
+    upstream by salting hot keys (stages/salt.py). Returns a Dataset of
+    left columns + payload columns.
+    """
+    left_schema: pa.Schema = left.schema().base_schema
+    right_schema: pa.Schema = right.schema().base_schema
+    if payload_cols is None:
+        payload_cols = [
+            c for c in right_schema.names if c not in (key, right_ts, tie_col)
+        ]
+    left_cols = list(left_schema.names)
+    right_types = {n: right_schema.field(n).type for n in right_schema.names}
+    left_types = {n: left_schema.field(n).type for n in left_schema.names}
+    ttl_us = None
+    if ttl is not None:
+        ttl_us = int(pd.Timedelta(ttl).value // 1000)
+
+    # unified wide schema: left cols + right (ts, tie, payload) + markers
+    right_extra = [right_ts] + ([tie_col] if tie_col else []) + payload_cols
+    right_extra = [c for c in right_extra if c not in left_cols]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {c: t[c] for c in left_cols}
+        for c in right_extra:
+            cols[c] = pa.nulls(n, type=right_types[c])
+        cols["__bucket__"] = pa.array(_key_hash(t[key], num_buckets))
+        cols["__side__"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {}
+        for c in left_cols:
+            cols[c] = t[c] if c == key else pa.nulls(n, type=left_types[c])
+        for c in right_extra:
+            cols[c] = t[c]
+        cols["__bucket__"] = pa.array(_key_hash(t[key], num_buckets))
+        cols["__side__"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    out_names = left_cols + [c for c in payload_cols if c not in left_cols]
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g["__side__"].to_numpy(zero_copy_only=False)
+        lidx = np.nonzero(side == 0)[0]
+        ridx = np.nonzero(side == 1)[0]
+        keys = g[key].to_numpy(zero_copy_only=False)
+        if len(lidx) == 0:
+            return g.select(out_names).slice(0, 0)
+        ldf = pd.DataFrame(
+            {
+                key: keys[lidx],
+                "__ts__": _ts_to_int(g[left_ts])[lidx],
+                "__l__": lidx,
+            }
+        ).sort_values("__ts__", kind="mergesort")
+        rdf = pd.DataFrame(
+            {
+                key: keys[ridx],
+                "__ts__": _ts_to_int(g[right_ts])[ridx],
+                "__r__": ridx,
+            }
+        )
+        if tie_col is not None and len(ridx):
+            rdf["__tie__"] = _ts_to_int(g[tie_col])[ridx]
+            rdf = rdf.sort_values("__tie__", kind="mergesort")
+        rdf = rdf.sort_values("__ts__", kind="mergesort")
+        merged = pd.merge_asof(
+            ldf,
+            rdf[[key, "__ts__", "__r__"]],
+            on="__ts__",
+            by=key,
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=ttl_us,
+        )
+        # matched right global row per left row (null → null payload)
+        rpos = merged["__r__"].to_numpy()
+        order = merged["__l__"].to_numpy().astype(np.int64)
+        out = g.select(left_cols).take(pa.array(order))
+        miss = np.isnan(rpos) if rpos.dtype.kind == "f" else np.zeros(len(rpos), bool)
+        safe = np.where(miss, 0, rpos).astype(np.int64)
+        # null-masked index array: take() emits nulls at null indices
+        ridx_arr = pa.array(safe, type=pa.int64(), mask=miss)
+        for c in payload_cols:
+            if c in left_cols:
+                continue
+            out = out.append_column(c, g[c].combine_chunks().take(ridx_arr))
+        return out
+
+    return both.groupby("__bucket__").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,136 @@
+"""As-of join correctness vs a DuckDB ASOF JOIN oracle (SURVEY §2.B2, §5).
+
+Checks: row-exact equality incl. token-array equality, typed nulls for
+unknown keys / pre-first-row / TTL-expired spine rows, latest-created_ts
+tie-break on duplicate (doc_id, event_ts), and the zero-temporal-leakage
+property (every matched feature_ts <= entity_ts).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from sous_chef_ray.sources.synth import spine_table, token_table
+from sous_chef_ray.stages.asof import asof_join_broadcast, asof_join_partitioned
+
+TTL_DAYS = 7
+
+
+def _oracle(features: pa.Table, spine: pa.Table, ttl_us: int) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("f", features)
+    con.register("s", spine)
+    # dedup ties by created_ts first (latest wins), then ASOF
+    q = f"""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id, event_ts ORDER BY created_ts DESC) AS rn
+        FROM f) WHERE rn = 1
+    ),
+    j AS (
+      SELECT s.doc_id, s.event_timestamp, d.event_ts AS f_ts,
+             d.tokens, d.n_tok, d.source
+      FROM s ASOF LEFT JOIN dedup d
+        ON s.doc_id = d.doc_id AND d.event_ts <= s.event_timestamp
+    )
+    SELECT doc_id, event_timestamp,
+      CASE WHEN f_ts >= event_timestamp - INTERVAL {TTL_DAYS} DAY THEN tokens END AS tokens,
+      CASE WHEN f_ts >= event_timestamp - INTERVAL {TTL_DAYS} DAY THEN n_tok END AS n_tok,
+      CASE WHEN f_ts >= event_timestamp - INTERVAL {TTL_DAYS} DAY THEN source END AS source
+    FROM j
+    """
+    return con.execute(q).df()
+
+
+@pytest.fixture(scope="module")
+def data():
+    features = token_table(5000, seed=42, n_docs=80)
+    spine = spine_table(features, 400, seed=43)
+    return features, spine
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["tokens"] = df["tokens"].map(
+        lambda v: None if v is None or (isinstance(v, float) and np.isnan(v))
+        else tuple(int(x) for x in v)
+    )
+    df["n_tok"] = df["n_tok"].astype("float64")
+    df["event_timestamp"] = pd.to_datetime(df["event_timestamp"])
+    return df.sort_values(["doc_id", "event_timestamp", "n_tok"]).reset_index(drop=True)
+
+
+def test_broadcast_matches_duckdb_oracle(data):
+    features, spine = data
+    ttl = pd.Timedelta(days=TTL_DAYS)
+    got = asof_join_broadcast(
+        rd.from_arrow(features).repartition(8),
+        spine,
+        key="doc_id",
+        spine_ts="event_timestamp",
+        feature_ts="event_ts",
+        tie_col="created_ts",
+        payload_cols=["tokens", "n_tok", "source"],
+        ttl=ttl,
+        concurrency=2,
+        batch_size=512,
+    ).to_pandas()
+    exp = _oracle(features, spine, ttl)
+    got_n, exp_n = _normalize(got), _normalize(exp)
+    pd.testing.assert_frame_equal(got_n, exp_n, check_dtype=False)
+
+
+def test_broadcast_zero_leakage(data):
+    features, spine = data
+    got = asof_join_broadcast(
+        rd.from_arrow(features).repartition(4),
+        spine,
+        key="doc_id",
+        spine_ts="event_timestamp",
+        feature_ts="event_ts",
+        tie_col="created_ts",
+        payload_cols=["event_ts"],
+        ttl=pd.Timedelta(days=TTL_DAYS),
+        concurrency=2,
+        batch_size=1024,
+    )
+    hit = got.to_pandas().dropna(subset=["event_ts"])
+    assert (hit["event_ts"] <= hit["event_timestamp"]).all()
+
+
+def test_partitioned_matches_broadcast(data):
+    features, spine = data
+    ttl = pd.Timedelta(days=TTL_DAYS)
+    kw = dict(key="doc_id", tie_col="created_ts", payload_cols=["n_tok", "source"], ttl=ttl)
+    b = asof_join_broadcast(
+        rd.from_arrow(features).repartition(4), spine,
+        spine_ts="event_timestamp", feature_ts="event_ts",
+        concurrency=2, batch_size=2048, **kw,
+    ).to_pandas()
+    p = asof_join_partitioned(
+        rd.from_arrow(spine).repartition(4),
+        rd.from_arrow(features).repartition(4),
+        left_ts="event_timestamp", right_ts="event_ts", num_buckets=16, **kw,
+    ).to_pandas()
+    p["event_timestamp"] = pd.to_datetime(p["event_timestamp"], unit="us")
+    cols = ["doc_id", "event_timestamp", "n_tok", "source"]
+    key = ["doc_id", "event_timestamp"]
+    b_n = b[cols].sort_values(key).reset_index(drop=True)
+    p_n = p[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b_n, p_n, check_dtype=False)
+
+
+def test_unknown_keys_all_null(data):
+    features, spine = data
+    got = asof_join_broadcast(
+        rd.from_arrow(features), spine,
+        key="doc_id", spine_ts="event_timestamp", feature_ts="event_ts",
+        tie_col="created_ts", payload_cols=["n_tok"], ttl=pd.Timedelta(days=TTL_DAYS),
+        concurrency=2,
+    ).to_pandas()
+    unknown = got[got["doc_id"].str.startswith("nodoc")]
+    assert len(unknown) > 0 and unknown["n_tok"].isna().all()
