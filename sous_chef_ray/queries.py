@@ -96,6 +96,289 @@ def asof_last_purchase(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# C4/C5/C6: count distinct, exact quantile, array_agg
+# ---------------------------------------------------------------------------
+
+_CNTD_SQL = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id
+"""
+
+
+@register("distinct_event_types_per_user", _CNTD_SQL)
+def distinct_event_types_per_user(sf_dir: str):
+    """COUNT(DISTINCT) per key (SURVEY §2.C4)."""
+    from sous_chef_ray.stages.agg import count_distinct
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return count_distinct(ev, "user_id", "event_type", name="n_distinct", num_buckets=16)
+
+
+_MEDIAN_SQL = """
+SELECT l_returnflag, percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("median_quantity_per_flag", _MEDIAN_SQL)
+def median_quantity_per_flag(sf_dir: str):
+    """Exact PERCENTILE_CONT(0.5) per group (SURVEY §2.C5)."""
+    from sous_chef_ray.stages.agg import group_quantile
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return group_quantile(li, "l_returnflag", "l_quantity", q=0.5,
+                          name="median_qty", num_buckets=4)
+
+
+_ARRAYAGG_SQL = """
+SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("orders_array_per_customer", _ARRAYAGG_SQL)
+def orders_array_per_customer(sf_dir: str):
+    """ARRAY_AGG WITHIN GROUP (ORDER BY) emitting a native list column —
+    the reference collapses arrays to STRING; limitation lifted
+    (SURVEY §2.C6)."""
+    from sous_chef_ray.stages.agg import array_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    return array_agg(orders, "o_custkey", "o_orderkey",
+                     order_by="o_orderkey", name="order_keys", num_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# C12: joins — hash (large-large), broadcast (dim), semi/anti
+# ---------------------------------------------------------------------------
+
+_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'O'
+"""
+
+
+@register("orders_customer_nation", _JOIN_SQL)
+def orders_customer_nation(sf_dir: str):
+    """Inner joins: hash join for orders⋈customer (both scale with sf),
+    broadcast join for the nation dim table (SURVEY §2.C12)."""
+    from sous_chef_ray.stages.join import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).drop_columns(["o_orderstatus"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       join_type="inner", num_partitions=8)
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    out = broadcast_join(joined, nation, on="c_nationkey", right_on="n_nationkey",
+                         how="inner", concurrency=2)
+    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "n_name"])
+
+
+_LEFTJOIN_SQL = """
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+"""
+
+
+@register("customer_left_join_orders", _LEFTJOIN_SQL)
+def customer_left_join_orders(sf_dir: str):
+    """LEFT OUTER hash join with a pushed-down right-side predicate."""
+    from sous_chef_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 100000.0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                    join_type="left_outer", num_partitions=8)
+    return out.select_columns(["c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"])
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+"""
+
+
+@register("customers_with_big_orders", _SEMI_SQL)
+def customers_with_big_orders(sf_dir: str):
+    """Semi join via broadcast key-set filter — no shuffle (SURVEY §4)."""
+    from sous_chef_ray.stages.join import semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    keys_tbl = pa.concat_tables(
+        b.filter(pc.greater(b["o_totalprice"], 200000.0)).select(["o_custkey"])
+        for b in orders.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return semi_join(cust, keys_tbl, "c_custkey", concurrency=2)
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@register("customers_without_big_orders", _ANTI_SQL)
+def customers_without_big_orders(sf_dir: str):
+    """Anti join via broadcast key-set filter."""
+    from sous_chef_ray.stages.join import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    keys_tbl = pa.concat_tables(
+        b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(["o_custkey"])
+        for b in orders.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return anti_join(cust, keys_tbl, "c_custkey", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# C13: UNION ALL
+# ---------------------------------------------------------------------------
+
+_UNION_SQL = """
+SELECT user_id, ts, 'click' AS kind FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT user_id, ts, 'purchase' AS kind FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("union_click_purchase", _UNION_SQL)
+def union_click_purchase(sf_dir: str):
+    """UNION ALL of two filtered streams (SURVEY §2.C13)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def pick(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table({
+                "user_id": t["user_id"], "ts": t["ts"],
+                "kind": pa.array([kind] * len(t), type=pa.string()),
+            })
+        return fn
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow", zero_copy_batch=True)
+    purch = ev.map_batches(pick("purchase"), batch_format="pyarrow", zero_copy_batch=True)
+    return clicks.union(purch)
+
+
+# ---------------------------------------------------------------------------
+# C14-C19: scalar surface — arithmetic, CASE, null handling, datetime,
+# string concat, casts
+# ---------------------------------------------------------------------------
+
+_SCALAR_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)
+         / 1000000.0 AS charge,
+       CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+       EXTRACT(month FROM l_shipdate) AS ship_month,
+       CAST(l_quantity AS BIGINT) AS qty_int,
+       l_returnflag || '-' || l_linestatus AS flag_status
+FROM lineitem
+"""
+
+
+@register("lineitem_scalar_surface", _SCALAR_SQL)
+def lineitem_scalar_surface(sf_dir: str):
+    """One pass exercising C14 arithmetic, C15 CASE, C16 COALESCE/NULLIF,
+    C17 EXTRACT, C18 concat, C19 CAST — all pyarrow.compute kernels."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        charge = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            pc.add(1.0, t["l_tax"]))
+        charge = pc.divide(
+            pc.cast(pc.round(pc.multiply(charge, 1e6)), pa.int64()), 1e6)
+        q = t["l_quantity"]
+        size_class = pc.case_when(
+            pc.make_struct(pc.less(q, 10.0), pc.less(q, 30.0)),
+            "small", "medium", "large")
+        flag = pc.if_else(pc.equal(t["l_returnflag"], "N"),
+                          pa.nulls(len(t), pa.string()), t["l_returnflag"])
+        flag_or_none = pc.coalesce(flag, "none")
+        ship_month = pc.cast(pc.month(t["l_shipdate"]), pa.int64())
+        qty_int = pc.cast(q, pa.int64())
+        flag_status = pc.binary_join_element_wise(
+            t["l_returnflag"], t["l_linestatus"], "-")
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+            "charge": charge, "size_class": size_class,
+            "flag_or_none": flag_or_none, "ship_month": ship_month,
+            "qty_int": qty_int, "flag_status": flag_status,
+        })
+
+    return li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DATETRUNC_SQL = """
+SELECT date_trunc('week', ts) AS week,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY date_trunc('week', ts)
+"""
+
+
+@register("weekly_event_rollup", _DATETRUNC_SQL)
+def weekly_event_rollup(sf_dir: str):
+    """DATE_TRUNC + grouped aggregate (SURVEY §2.C17)."""
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        week = pc.floor_temporal(t["ts"], unit="week")
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"week": week, "cents": cents})
+
+    agg = (
+        ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("week")
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "week": agg["week"], "n_events": agg["n_events"],
+        "total_value": agg["cents"] / 100.0,
+    })
+
+
+# ---------------------------------------------------------------------------
+# global top-k (sort + limit)
+# ---------------------------------------------------------------------------
+
+_GLOBAL_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+@register("top10_orders_global", _GLOBAL_TOPK_SQL)
+def top10_orders_global(sf_dir: str):
+    """Global top-k = ds.sort(desc).limit(k) (SURVEY §2.C11)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return (
+        orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .select_columns(["o_orderkey", "o_totalprice"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # B4: latest-per-key dedup
 # ---------------------------------------------------------------------------
 
@@ -115,6 +398,227 @@ def latest_event_per_user(sf_dir: str) -> pa.Table:
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
     out = latest_per_key(ev, "user_id", order_by="ts", tie_by="event_id")
     return out.select_columns(["user_id", "ts", "event_type", "value"])
+
+
+# ---------------------------------------------------------------------------
+# C7/C11: rank, row_number, top-k per group
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+@register("top_orders_per_customer", _TOPK_SQL)
+def top_orders_per_customer(sf_dir: str):
+    """Top-3 orders by price per customer — QUALIFY row_number()<=k
+    (SURVEY §2.C11) via stages.window.topk_per_group."""
+    from sous_chef_ray.stages.window import topk_per_group
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = topk_per_group(
+        orders, "o_custkey", ["o_totalprice", "o_orderkey"], k=3,
+        descending=[True, False], num_buckets=16,
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+
+
+_RANK_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+FROM orders
+"""
+
+
+@register("order_rank_per_customer", _RANK_SQL)
+def order_rank_per_customer(sf_dir: str):
+    """ROW_NUMBER + RANK per partition (SURVEY §2.C7)."""
+    from sous_chef_ray.stages.window import with_rank, with_row_number
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = with_row_number(
+        orders, "o_custkey", ["o_totalprice", "o_orderkey"],
+        descending=[True, False], name="rn", num_buckets=16,
+    )
+    out = with_rank(out, "o_custkey", "o_totalprice", descending=True,
+                    name="rnk", num_buckets=16)
+    return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk"])
+
+
+# ---------------------------------------------------------------------------
+# C8/C9: lag/lead, first/last value
+# ---------------------------------------------------------------------------
+
+_LAGLEAD_SQL = """
+SELECT user_id, event_id, ts, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("event_lag_lead", _LAGLEAD_SQL)
+def event_lag_lead(sf_dir: str):
+    """LAG/LEAD within user ordered by (ts, event_id) (SURVEY §2.C8)."""
+    from sous_chef_ray.stages.window import with_lag_lead
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = with_lag_lead(
+        ev, "user_id", ["ts", "event_id"], "value",
+        lag_name="prev_value", lead_name="next_value", num_buckets=16,
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "value", "prev_value", "next_value"])
+
+
+_FIRSTLAST_SQL = """
+SELECT user_id, event_id, ts,
+       first_value(value) OVER w AS first_value_seen,
+       last_value(value) OVER w AS last_value_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("event_first_last", _FIRSTLAST_SQL)
+def event_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over whole key partition (SURVEY §2.C9)."""
+    from sous_chef_ray.stages.window import with_first_last
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = with_first_last(
+        ev, "user_id", ["ts", "event_id"], "value",
+        first_name="first_value_seen", last_name="last_value_seen", num_buckets=16,
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "first_value_seen", "last_value_seen"])
+
+
+# ---------------------------------------------------------------------------
+# C10: moving-window aggregate (exact integer cents)
+# ---------------------------------------------------------------------------
+
+_ROLLING_SQL = """
+SELECT user_id, event_id, ts,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS rolling_cents,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+         / (100.0 * COUNT(*) OVER w) AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_event_value", _ROLLING_SQL)
+def rolling_event_value(sf_dir: str):
+    """AVG/SUM OVER (... ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    (SURVEY §2.C10) — exact integer-cents rolling sum."""
+    from sous_chef_ray.stages.window import with_rolling_sum_count
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return df.drop(columns=["value"])
+
+    out = with_rolling_sum_count(
+        ev.map_batches(cents, batch_format="pandas"),
+        "user_id", ["ts", "event_id"], "cents", window=30,
+        sum_name="rolling_cents", cnt_name="rolling_cnt", num_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rolling_cents"] = df["rolling_cents"].astype(np.int64)
+        df["rolling_avg"] = df["rolling_cents"] / (100.0 * df["rolling_cnt"])
+        return df[["user_id", "event_id", "ts", "rolling_cents", "rolling_avg"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# North-rule: gap-based sessionization
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+SELECT user_id, event_id, ts,
+       SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+FROM (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+"""
+
+
+@register("sessionize_events", _SESSION_SQL)
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization, 30-minute gap (SURVEY §2.D)."""
+    from sous_chef_ray.stages.session import sessionize
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = sessionize(
+        ev, "user_id", "ts", gap=pd.Timedelta(minutes=30),
+        tie_by="event_id", num_buckets=16,
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "session_id"])
+
+
+# ---------------------------------------------------------------------------
+# North-rule: backfill over a dense spine
+# ---------------------------------------------------------------------------
+
+_BACKFILL_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+     grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                                            TIMESTAMP '2024-01-25',
+                                            INTERVAL 1 DAY)) AS grid_ts),
+     spine AS (SELECT u.user_id, g.grid_ts FROM users u CROSS JOIN grid g),
+     f AS (SELECT user_id, ts AS fts, value FROM events WHERE event_type = 'purchase'),
+     j AS (SELECT s.user_id, s.grid_ts, f.fts, f.value
+           FROM spine s ASOF LEFT JOIN f
+             ON s.user_id = f.user_id AND f.fts <= s.grid_ts)
+SELECT user_id, grid_ts,
+       CASE WHEN fts >= grid_ts - INTERVAL 3 DAY THEN value END AS filled_value
+FROM j
+"""
+
+
+@register("backfill_daily_purchase", _BACKFILL_SQL)
+def backfill_daily_purchase(sf_dir: str):
+    """Forward-fill last purchase value onto a dense per-user daily grid,
+    TTL 3 days (SURVEY §2.D backfill; nulls where expired)."""
+    from sous_chef_ray.stages.backfill import backfill, dense_spine
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def to_feats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"user_id": t["user_id"], "fts": t["ts"], "value": t["value"]})
+
+    feats = ev.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
+    users = sorted(ev.unique("user_id"))
+    spine = dense_spine(
+        np.array(users, dtype=np.int64),
+        np.datetime64("2024-01-05"), np.datetime64("2024-01-25"),
+        pd.Timedelta(days=1), key_name="user_id", ts_name="grid_ts",
+    )
+    out = backfill(
+        feats, spine, key="user_id", spine_ts="grid_ts", feature_ts="fts",
+        payload_cols=["value"], ttl=pd.Timedelta(days=3), concurrency=2,
+    )
+    return pa.table(
+        {"user_id": out["user_id"], "grid_ts": out["grid_ts"],
+         "filled_value": out["value"]}
+    )
 
 
 # ---------------------------------------------------------------------------

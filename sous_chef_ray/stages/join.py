@@ -1,0 +1,129 @@
+"""Join operators (SURVEY §2.C12).
+
+* ``hash_join`` — both sides large: Ray Data's hash-partitioned
+  ``Dataset.join`` (inner / left_outer / right_outer / full_outer).
+* ``broadcast_join`` — small dimension side: ``ray.put`` the dim table
+  ONCE, read it once per actor in ``__init__``, pandas-merge per batch.
+  No shuffle of the big side — the correct shape for dim tables at
+  100 TB fact scale.
+* ``semi_join`` / ``anti_join`` — broadcast the key set and filter
+  vectorized inside map_batches (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: List[str] | str,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+    right_on: Optional[List[str] | str] = None,
+) -> "rd.Dataset":
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (right_on,) if isinstance(right_on, str) else (
+        tuple(right_on) if right_on else None
+    )
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )
+
+
+class _BroadcastMerge:
+    def __init__(self, dim_ref, on, right_on, how, suffix):
+        dim: pd.DataFrame = ray.get(dim_ref)
+        self.dim = dim
+        self.on = on
+        self.right_on = right_on
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            self.dim,
+            how=self.how,
+            left_on=self.on,
+            right_on=self.right_on,
+            suffixes=("", self.suffix),
+        )
+
+
+def broadcast_join(
+    big: "rd.Dataset",
+    dim: pd.DataFrame | pa.Table,
+    on: List[str] | str,
+    right_on: Optional[List[str] | str] = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    concurrency: int | tuple = 4,
+) -> "rd.Dataset":
+    """Join a streaming big side against a broadcast in-memory dim table."""
+    if isinstance(dim, pa.Table):
+        dim = dim.to_pandas()
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = (
+        [right_on] if isinstance(right_on, str) else list(right_on or on)
+    )
+    dim_ref = ray.put(dim)
+    return big.map_batches(
+        _BroadcastMerge,
+        fn_constructor_kwargs=dict(
+            dim_ref=dim_ref, on=on, right_on=right_on, how=how, suffix=suffix
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+class _KeyFilter:
+    def __init__(self, keys_ref, col, keep):
+        self.keys = ray.get(keys_ref)  # pa.Array of key values
+        self.col = col
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[self.col], value_set=self.keys)
+        if not self.keep:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+
+def _key_set_join(big, keys, col, keep, concurrency):
+    if isinstance(keys, pa.Table):
+        keys = keys[keys.column_names[0]]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if not isinstance(keys, pa.Array):
+        keys = pa.array(keys)
+    keys_ref = ray.put(pc.unique(keys))
+    return big.map_batches(
+        _KeyFilter,
+        fn_constructor_kwargs=dict(keys_ref=keys_ref, col=col, keep=keep),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def semi_join(big: "rd.Dataset", keys, col: str, concurrency: int | tuple = 4):
+    """big WHERE col IN (keys) — broadcast key-set filter, no shuffle."""
+    return _key_set_join(big, keys, col, True, concurrency)
+
+
+def anti_join(big: "rd.Dataset", keys, col: str, concurrency: int | tuple = 4):
+    """big WHERE col NOT IN (keys) — broadcast key-set filter, no shuffle."""
+    return _key_set_join(big, keys, col, False, concurrency)

@@ -1,0 +1,58 @@
+"""Key-partitioned apply — the engine's workhorse for per-key ordered ops.
+
+``partition_apply(ds, keys, fn)`` hash-buckets rows by key (deterministic
+uint64 hash % num_buckets, so a key's rows never straddle buckets), then
+runs ``fn`` once per bucket via ``groupby(bucket).map_groups``. ``fn``
+receives one pandas DataFrame per bucket and is expected to do its own
+vectorized per-key work (``df.groupby(keys)...`` — C-speed, one Python
+call per BUCKET, not per key).
+
+This is the scalable shape for window functions / sessionization /
+backfill at 10^12 rows: the shuffle moves each row once to its bucket,
+buckets stream independently, and skewed keys can be pre-salted
+(stages/salt.py) before bucketing. num_buckets should be sized so a
+bucket fits in a worker's heap (rows/num_buckets × row width).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+BUCKET_COL = "__bucket__"
+
+
+def add_bucket(df: pd.DataFrame, keys: List[str], num_buckets: int) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(
+        df[keys[0]] if len(keys) == 1 else df[keys].apply(tuple, axis=1),
+        index=False,
+    ).to_numpy()
+    df = df.copy()
+    df[BUCKET_COL] = (h % np.uint64(num_buckets)).astype(np.int64)
+    return df
+
+
+def partition_apply(
+    ds: "rd.Dataset",
+    keys: List[str] | str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket(df, keys, num_buckets)
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        out = fn(g.drop(columns=[BUCKET_COL]))
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(apply, batch_format="pandas")
+    )

@@ -1,0 +1,97 @@
+"""Window / sessionization goldens on hand-written sequences (SURVEY §5,
+FIXTURES.md F6: lag/lead golden on a 10-row per-key series; sessionization
+golden on a sequence with known gaps)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sous_chef_ray.stages.session import sessionize
+from sous_chef_ray.stages.window import (
+    topk_per_group,
+    with_first_last,
+    with_lag_lead,
+    with_rolling_sum_count,
+    with_row_number,
+)
+
+
+def _df():
+    return pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 5,
+            "ts": list(range(5)) * 2,
+            "v": [10, 20, 30, 40, 50, 1, 2, 3, 4, 5],
+        }
+    )
+
+
+def test_lag_lead_golden():
+    out = (
+        with_lag_lead(rd.from_pandas(_df()).repartition(3), "k", "ts", "v",
+                      lag_name="prev", lead_name="nxt", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "prev"] != out.loc[0, "prev"]  # NaN
+    assert list(out["prev"].fillna(-1)) == [-1, 10, 20, 30, 40, -1, 1, 2, 3, 4]
+    assert list(out["nxt"].fillna(-1)) == [20, 30, 40, 50, -1, 2, 3, 4, 5, -1]
+
+
+def test_row_number_and_topk():
+    rn = (
+        with_row_number(rd.from_pandas(_df()), "k", "v", descending=True, name="rn")
+        .to_pandas().sort_values(["k", "v"], ascending=[True, False]).reset_index(drop=True)
+    )
+    assert list(rn[rn["k"] == "a"]["rn"]) == [1, 2, 3, 4, 5]
+    tk = topk_per_group(rd.from_pandas(_df()), "k", "v", k=2).to_pandas()
+    assert sorted(tk[tk["k"] == "a"]["v"]) == [40, 50]
+    assert sorted(tk[tk["k"] == "b"]["v"]) == [4, 5]
+
+
+def test_first_last():
+    out = with_first_last(rd.from_pandas(_df()), "k", "ts", "v").to_pandas()
+    a = out[out["k"] == "a"]
+    assert (a["v_first"] == 10).all() and (a["v_last"] == 50).all()
+
+
+def test_rolling_exact():
+    out = (
+        with_rolling_sum_count(rd.from_pandas(_df()), "k", "ts", "v", window=3,
+                               sum_name="s", cnt_name="c")
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    a = out[out["k"] == "a"]
+    assert list(a["s"]) == [10, 30, 60, 90, 120]
+    assert list(a["c"]) == [1, 2, 3, 3, 3]
+
+
+def test_sessionize_golden():
+    # gaps: >10 starts new session
+    df = pd.DataFrame(
+        {
+            "k": ["x"] * 6 + ["y"] * 3,
+            "ts": pd.to_datetime(
+                [0, 5, 30, 32, 60, 61, 0, 100, 101], unit="s"
+            ),
+        }
+    )
+    out = (
+        sessionize(rd.from_pandas(df), "k", "ts", gap=pd.Timedelta(seconds=10),
+                   num_buckets=4)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert list(out[out["k"] == "x"]["session_id"]) == [1, 1, 2, 2, 3, 3]
+    assert list(out[out["k"] == "y"]["session_id"]) == [1, 2, 2]
+
+
+def test_session_exact_boundary():
+    # gap exactly equal to threshold does NOT start a new session (> not >=)
+    df = pd.DataFrame({"k": ["z"] * 3, "ts": pd.to_datetime([0, 10, 21], unit="s")})
+    out = (
+        sessionize(rd.from_pandas(df), "k", "ts", gap=pd.Timedelta(seconds=10),
+                   num_buckets=2)
+        .to_pandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert list(out["session_id"]) == [1, 1, 2]
