@@ -17,3 +17,16 @@ Nothing is imported from feast; nothing is copied from the reference.
 __version__ = "0.1.0"
 
 from sous_chef_ray.errors import SousChefError, ValidationError  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy imports so `import sous_chef_ray` stays cheap (no ray import)
+    if name in ("Engine", "SousChef", "FeatureView", "FeatureService", "Entity"):
+        from sous_chef_ray import engine
+
+        return getattr(engine, name if name != "SousChef" else "Engine")
+    if name == "QUERIES":
+        from sous_chef_ray.queries import QUERIES
+
+        return QUERIES
+    raise AttributeError(name)

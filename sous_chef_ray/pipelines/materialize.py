@@ -67,15 +67,61 @@ def tokenize_documents(docs: "rd.Dataset", vocab: int = 50257) -> "rd.Dataset":
     return docs.map_batches(tok, batch_format="pandas")
 
 
+def window_features(
+    ds: "rd.Dataset",
+    *,
+    key: str = "doc_id",
+    ts_col: str = "event_ts",
+    tie_col: str = "created_ts",
+    value_col: str = "n_tok",
+    session_gap: pd.Timedelta = None,
+    num_buckets: int = 128,
+) -> "rd.Dataset":
+    """Fused per-key window features in ONE shuffle: lag/lead of
+    ``value_col`` + gap-based session ids, vectorized per bucket."""
+    from sous_chef_ray.stages.partition import partition_apply
+
+    gap_ns = pd.Timedelta(session_gap or pd.Timedelta(hours=6)).value
+
+    def fn(df):
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df
+        g = df.groupby(key, sort=False)[value_col]
+        df[f"{value_col}_lag1"] = g.shift(1)
+        df[f"{value_col}_lead1"] = g.shift(-1)
+        tsv = df[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        kv = df[key].to_numpy()
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = kv[1:] != kv[:-1]
+        diff = np.empty(n, dtype=np.int64)
+        diff[0] = 0
+        diff[1:] = tsv[1:] - tsv[:-1]
+        is_new = key_change | (diff > gap_ns)
+        sid = np.cumsum(is_new)
+        base = np.maximum.accumulate(np.where(key_change, sid, 0))
+        df["session_id"] = (sid - base + 1).astype(np.int64)
+        return df
+
+    return partition_apply(ds, key, fn, num_buckets)
+
+
 def materialize_features(
     token_ds: "rd.Dataset",
     spine: pa.Table,
     *,
     ttl: Optional[pd.Timedelta] = None,
     concurrency: int | tuple = 4,
-    batch_size: int = 32768,
+    batch_size: int = 262144,
+    token_slim_ds: Optional["rd.Dataset"] = None,
 ) -> pa.Table:
-    """Point-in-time feature materialization over the token table."""
+    """Point-in-time feature materialization over the token table.
+
+    Pass ``token_slim_ds`` as a ``columns=``-pruned read of the same table
+    so the slim candidate pass never deserializes token arrays.
+    """
     ttl = ttl if ttl is not None else pd.Timedelta(days=30)
     return asof_join_broadcast(
         token_ds,
@@ -88,6 +134,7 @@ def materialize_features(
         ttl=ttl,
         concurrency=concurrency,
         batch_size=batch_size,
+        slim_features=token_slim_ds,
     )
 
 

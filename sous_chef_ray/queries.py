@@ -622,6 +622,192 @@ def backfill_daily_purchase(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Training-data ops: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+_TOKCOUNT_SQL = r"""
+SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_words
+FROM documents
+"""
+
+
+@register("doc_token_counts", _TOKCOUNT_SQL)
+def doc_token_counts(sf_dir: str):
+    """Whitespace token counting over documents (training-data op)."""
+    from sous_chef_ray.stages.text import add_token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_token_count(docs, "text", name="n_words").select_columns(
+        ["doc_id", "n_words"]
+    )
+
+
+_QUALITY_SQL = r"""
+SELECT doc_id,
+       length(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+       length(text)::DOUBLE / length(regexp_split_to_array(trim(text), '\s+'))
+         AS chars_per_word,
+       length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text)
+         AS alnum_ratio
+FROM documents
+"""
+
+
+@register("doc_quality_scores", _QUALITY_SQL)
+def doc_quality_scores(sf_dir: str):
+    """Cheap quality-gate features (length/punct ratios) per document."""
+    from sous_chef_ray.stages.text import add_quality_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_quality_score(docs, "text").select_columns(
+        ["doc_id", "n_words", "chars_per_word", "alnum_ratio"]
+    )
+
+
+_FPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+@register("doc_fingerprints", _FPRINT_SQL)
+def doc_fingerprints(sf_dir: str):
+    """Exact content fingerprint (md5) — dedup key at scale."""
+    from sous_chef_ray.stages.text import add_md5_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_md5_fingerprint(docs, "text").select_columns(["doc_id", "fingerprint"])
+
+
+_EXACTDEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("exact_dedup_docs", _EXACTDEDUP_SQL)
+def exact_dedup_docs(sf_dir: str):
+    """Exact dedup: keep smallest doc_id per content hash — the shuffle
+    moves 16-byte hashes, not documents."""
+    from sous_chef_ray.stages.dedup import exact_dedup
+    from sous_chef_ray.stages.text import add_md5_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_fp = add_md5_fingerprint(docs, "text").select_columns(["doc_id", "fingerprint"])
+    return exact_dedup(with_fp, "fingerprint", keep_by="doc_id")
+
+
+@register("minhash_neardup_pairs")  # not SQL-expressible → rows-only check
+def minhash_neardup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates verified by exact Jaccard ≥ 0.5
+    (shingle→minhash→band→bucket-groupby; SURVEY training-data ops)."""
+    from sous_chef_ray.stages.neardup import jaccard_verify, minhash_lsh_candidates
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, concurrency=2
+    ).to_pandas()
+    docs_pd = pa.concat_tables(
+        docs.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    return jaccard_verify(cand, docs_pd, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register("simhash_signatures")  # rows-only
+def simhash_signatures(sf_dir: str):
+    """64-bit SimHash per document (near-dup signature family)."""
+    from sous_chef_ray.stages.neardup import add_simhash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_simhash(docs, "text", concurrency=2).select_columns(["doc_id", "simhash"])
+    df = out.to_pandas()
+    df["simhash"] = df["simhash"].astype("uint64")
+    return df
+
+
+@register("langid_predictions")  # heuristic; rows-only
+def langid_predictions(sf_dir: str):
+    """n-gram/stopword language-ID heuristic (actor-pool stage)."""
+    from sous_chef_ray.stages.text import add_lang_id
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_lang_id(docs, "text", concurrency=2).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT qid, neighbor_id, list_cosine_similarity(qe, ce) AS sim
+           FROM q CROSS JOIN c),
+     r AS (SELECT qid, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
+           FROM s)
+SELECT qid, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rn <= 5
+"""
+
+
+@register("knn_cosine_top5", _KNN_SQL)
+def knn_cosine_top5(sf_dir: str):
+    """Brute-force cosine top-5 of 10 query vectors against the corpus —
+    broadcast query matrix, streaming float64 matmul per batch."""
+    from sous_chef_ray.stages.similarity import knn_brute_force
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    q_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 10))
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 10)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = knn_brute_force(
+        corpus, q_tbl, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=5, concurrency=2,
+    )
+    out["cosine_sim"] = out["cosine_sim"].round(6)
+    return out[["qid", "neighbor_id", "cosine_sim"]]
+
+
+_NN1_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 50),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+     s AS (SELECT qid, neighbor_id, list_cosine_similarity(qe, ce) AS sim
+           FROM q CROSS JOIN c WHERE qid <> neighbor_id),
+     r AS (SELECT qid, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
+           FROM s)
+SELECT qid, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rn = 1
+"""
+
+
+@register("embedding_nearest_neighbor", _NN1_SQL)
+def embedding_nearest_neighbor(sf_dir: str):
+    """Embedding-cosine near-dup form: each query's single nearest
+    neighbor (self excluded)."""
+    from sous_chef_ray.stages.similarity import knn_brute_force
+
+    import pyarrow.parquet as pq
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 50))
+    out = knn_brute_force(
+        emb, q_tbl, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=2, concurrency=2,
+    )
+    out = out[out["qid"] != out["neighbor_id"]]
+    out = out.sort_values(["qid", "cosine_sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = out.groupby("qid", sort=False).head(1).reset_index(drop=True)
+    out["cosine_sim"] = out["cosine_sim"].round(6)
+    return out[["qid", "neighbor_id", "cosine_sim"]]
+
+
+# ---------------------------------------------------------------------------
 # C3: grouped aggregation (TPC-H Q1-like pricing summary)
 # ---------------------------------------------------------------------------
 

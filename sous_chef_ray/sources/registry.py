@@ -21,10 +21,23 @@ SOURCE_PARAMS: Dict[str, List[str]] = {
 }
 
 
-def _read_file(path: str, columns=None, **_: Any):
+def _read_file(path: str, columns=None, field_mapping: Dict[str, str] | None = None, **_: Any):
+    """Parquet file source; ``field_mapping`` renames columns on read
+    (reference B5 semantics: field_mapping param on file sources,
+    sous_chef.py:41-42)."""
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=columns)
+    ds = rd.read_parquet(path, columns=columns)
+    if field_mapping:
+        mapping = dict(field_mapping)
+
+        def rename(t):
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names]
+            )
+
+        ds = ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
 
 
 class SourceRegistry:

@@ -102,6 +102,21 @@ def spine_table(features: pa.Table, n: int, seed: int = 43) -> pa.Table:
     )
 
 
+def probe_docs(n: int, seed: int = 9, words_per_doc: int = 120, vocab: int = 2000) -> pa.Table:
+    """Synthetic document table for the compute-bound scaling probe
+    (MinHash signatures): deterministic, small bytes, heavy CPU per row."""
+    rng = np.random.default_rng(seed)
+    vocab_words = np.array([f"w{i:04d}" for i in range(vocab)])
+    picks = rng.integers(0, vocab, (n, words_per_doc))
+    texts = [" ".join(vocab_words[row]) for row in picks]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
 def write_token_dataset(path: str, n: int, seed: int = 42, shards: int = 8) -> None:
     """Write the F1 table as a sharded Parquet directory (bench input)."""
     import os

@@ -38,11 +38,17 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from sous_chef_ray.stages._util import pool
+
 
 def _ts_to_int(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """timestamp[us] / int column → int64 numpy (no copy when possible)."""
+    """timestamp / int column → int64 MICROSECONDS numpy.
+
+    Timestamps are normalized to us before the int cast so mixed-unit
+    inputs (parquet us vs pandas ns) compare on the same scale.
+    """
     if pa.types.is_timestamp(arr.type):
-        arr = arr.cast(pa.int64())
+        arr = arr.cast(pa.timestamp("us")).cast(pa.int64())
     elif not pa.types.is_integer(arr.type):
         arr = arr.cast(pa.int64())
     if isinstance(arr, pa.ChunkedArray):
@@ -91,8 +97,15 @@ class _AsofCandidates:
             small["__tie__"] = small["__fts__"]
         small = small.sort_values("__fts__", kind="mergesort")
 
+        # prune the spine to keys present in THIS batch: the per-batch merge
+        # then costs O(|matching spine| + |batch|), not O(|whole spine|)
+        spine = self.spine
+        present = spine[self.key].isin(pd.unique(small[self.key]))
+        if not present.all():
+            spine = spine[present]
+
         merged = pd.merge_asof(
-            self.spine,
+            spine,
             small,
             left_on="__ts__",
             right_on="__fts__",
@@ -104,25 +117,27 @@ class _AsofCandidates:
         hit = merged["__row__"].notna()
         if not hit.any():
             # empty candidate table with the right schema
-            empty = batch.select(self.payload_cols).slice(0, 0)
-            return empty.append_column(
-                "__spine_idx__", pa.array([], type=pa.int64())
-            ).append_column("__fts__", pa.array([], type=pa.int64())).append_column(
-                "__tie__", pa.array([], type=pa.int64())
-            )
+            cols = {
+                c: batch[c].combine_chunks().slice(0, 0) for c in self.payload_cols
+            }
+            for c in ("__spine_idx__", "__fts__", "__tie__"):
+                cols[c] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         rows = merged.loc[hit, "__row__"].to_numpy().astype(np.int64)
-        out = batch.select(self.payload_cols).take(pa.array(rows))
-        out = out.append_column(
-            "__spine_idx__",
-            pa.array(merged.loc[hit, "__spine_idx__"].to_numpy().astype(np.int64)),
+        cols = {}
+        if self.payload_cols:
+            taken = batch.select(self.payload_cols).take(pa.array(rows))
+            cols = {c: taken[c] for c in self.payload_cols}
+        cols["__spine_idx__"] = pa.array(
+            merged.loc[hit, "__spine_idx__"].to_numpy().astype(np.int64)
         )
-        out = out.append_column(
-            "__fts__", pa.array(merged.loc[hit, "__fts__"].to_numpy().astype(np.int64))
+        cols["__fts__"] = pa.array(
+            merged.loc[hit, "__fts__"].to_numpy().astype(np.int64)
         )
-        out = out.append_column(
-            "__tie__", pa.array(merged.loc[hit, "__tie__"].to_numpy().astype(np.int64))
+        cols["__tie__"] = pa.array(
+            merged.loc[hit, "__tie__"].to_numpy().astype(np.int64)
         )
-        return out
+        return pa.table(cols)
 
 
 def asof_join_broadcast(
@@ -136,13 +151,20 @@ def asof_join_broadcast(
     payload_cols: Optional[List[str]] = None,
     ttl: Optional[pd.Timedelta] = None,
     concurrency: int | tuple = 4,
-    batch_size: int = 32768,
+    batch_size: int = 262144,
+    slim_features: Optional["ray.data.Dataset"] = None,
 ) -> pa.Table:
     """Point-in-time join of a big feature Dataset onto a small spine.
 
     Returns an Arrow table with the spine's columns plus ``payload_cols``
     (typed nulls where no feature row qualifies). Spine-sized output, so a
     driver-side result is appropriate; the feature side streams.
+
+    ``slim_features``: optionally a dataset carrying ONLY (key, feature_ts
+    [, tie_col]) — e.g. ``read_parquet(path, columns=[...])`` so the
+    projection pushes into the parquet read. Phase 1 then never touches
+    payload bytes (``Dataset.select_columns`` does NOT push down in Ray
+    2.49 — measured 4x slower than a ``columns=`` read).
     """
     if payload_cols is None:
         payload_cols = [
@@ -161,37 +183,47 @@ def asof_join_broadcast(
         }
     )
     spine_ref = ray.put(spine_small)
+    n_spine = len(spine)
+    schema_map = {f.name: f.type for f in features.schema().base_schema}
+    out_cols = {name: spine[name] for name in spine.column_names}
 
-    cands = features.map_batches(
+    import os
+    import time as _time
+
+    _prof = bool(os.environ.get("SOUS_CHEF_PROFILE"))
+    _t0 = _time.time()
+
+    # ---- phase 1: SLIM candidate pass ------------------------------------
+    # Only (key, feature_ts, tie) stream through the merge — the projection
+    # pushes into the parquet read, so at 100 TB this pass moves ~1% of the
+    # bytes. Candidates are 24 B/row; the driver reduce is a numpy lexsort.
+    slim_cols = [key, feature_ts] + ([tie_col] if tie_col else [])
+    slim_ds = slim_features if slim_features is not None else features.select_columns(slim_cols)
+    cands = slim_ds.map_batches(
         _AsofCandidates,
         fn_constructor_kwargs=dict(
             spine_ref=spine_ref,
             key=key,
             feature_ts=feature_ts,
             tie_col=tie_col,
-            payload_cols=payload_cols,
+            payload_cols=[],
             ttl_us=ttl_us,
         ),
         batch_format="pyarrow",
-        batch_size=batch_size,
+        # slim rows are ~24 B: big batches mean few spine-side merges and
+        # few candidate duplicates (candidates ≈ spine_rows × n_batches)
+        batch_size=batch_size * 4,
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
-
-    # Reduce: best candidate per spine row. Candidate count is bounded by
-    # (spine rows x feature blocks containing that key); with the spine
-    # small this is driver-friendly. A lexsort + last-per-group is exact.
-    batches = [b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow")]
-    cand_tbl = pa.concat_tables(batches, promote_options="default") if batches else None
-
-    schema_map = {f.name: f.type for f in features.schema().base_schema}
-    out_cols = {name: spine[name] for name in spine.column_names}
-    n_spine = len(spine)
-
-    if cand_tbl is None or len(cand_tbl) == 0:
+    batches = [
+        b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow") if len(b)
+    ]
+    if not batches:
         for c in payload_cols:
             out_cols[c] = pa.nulls(n_spine, type=schema_map[c])
         return pa.table(out_cols)
+    cand_tbl = pa.concat_tables(batches, promote_options="default")
 
     sidx = cand_tbl["__spine_idx__"].to_numpy()
     fts = cand_tbl["__fts__"].to_numpy()
@@ -201,18 +233,104 @@ def asof_join_broadcast(
     last_mask = np.empty(len(sidx_sorted), dtype=bool)
     last_mask[:-1] = sidx_sorted[1:] != sidx_sorted[:-1]
     last_mask[-1] = True
-    best_rows = order[last_mask]
-    best_sidx = sidx[best_rows]
+    best = order[last_mask]
+    win_sidx = sidx[best]
+    win_fts = fts[best]
+    win_tie = tie[best]
 
-    # scatter best candidates into spine-aligned arrays
+    if _prof:
+        print(f"[asof] phase1 slim candidates: {_time.time()-_t0:.2f}s "
+              f"({len(cand_tbl)} candidates)")
+        _t0 = _time.time()
+
+    if not payload_cols:
+        return pa.table(out_cols)
+
+    # ---- phase 2: payload FETCH pass -------------------------------------
+    # Broadcast the (key, fts, tie) winner set; stream features again with
+    # a vectorized inner-join filter. Emits exactly the winner rows — wide
+    # token payloads never enter a shuffle or a spine-sized merge.
+    winners_df = pd.DataFrame(
+        {key: spine_keys[win_sidx], "__fts__": win_fts, "__tie__": win_tie}
+    ).drop_duplicates()
+    winners_ref = ray.put(winners_df)
+
+    class _FetchWinners:
+        def __init__(self):
+            self.winners = ray.get(winners_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            frame = pd.DataFrame(
+                {
+                    key: batch[key].to_numpy(zero_copy_only=False),
+                    "__fts__": _ts_to_int(batch[feature_ts]),
+                    "__row__": np.arange(len(batch), dtype=np.int64),
+                }
+            )
+            frame["__tie__"] = (
+                _ts_to_int(batch[tie_col]) if tie_col else frame["__fts__"]
+            )
+            hit = frame.merge(self.winners, on=[key, "__fts__", "__tie__"], how="inner")
+            rows = pa.array(hit["__row__"].to_numpy())
+            out = batch.select([key] + payload_cols).take(rows)
+            out = out.append_column("__fts__", pa.array(hit["__fts__"].to_numpy()))
+            out = out.append_column("__tie__", pa.array(hit["__tie__"].to_numpy()))
+            return out
+
+    fetched_batches = [
+        b
+        for b in features.map_batches(
+            _FetchWinners,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=pool(concurrency),
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(b)
+    ]
+    fetched = (
+        pa.concat_tables(fetched_batches, promote_options="default")
+        if fetched_batches
+        else None
+    )
+
+    if _prof:
+        nf = len(fetched) if fetched is not None else 0
+        print(f"[asof] phase2 fetch payloads: {_time.time()-_t0:.2f}s ({nf} rows)")
+        _t0 = _time.time()
+
+    # ---- assembly: winners → fetched rows → spine-aligned scatter --------
     pos = np.full(n_spine, -1, dtype=np.int64)
-    pos[best_sidx] = best_rows
+    if fetched is not None and len(fetched):
+        fdf = pd.DataFrame(
+            {
+                key: fetched[key].to_numpy(zero_copy_only=False),
+                "__fts__": fetched["__fts__"].to_numpy(),
+                "__tie__": fetched["__tie__"].to_numpy(),
+                "__frow__": np.arange(len(fetched), dtype=np.int64),
+            }
+        ).drop_duplicates(subset=[key, "__fts__", "__tie__"], keep="last")
+        wmap = pd.DataFrame(
+            {
+                key: spine_keys[win_sidx],
+                "__fts__": win_fts,
+                "__tie__": win_tie,
+                "__sidx__": win_sidx,
+            }
+        ).merge(fdf, on=[key, "__fts__", "__tie__"], how="inner")
+        pos[wmap["__sidx__"].to_numpy()] = wmap["__frow__"].to_numpy()
+
     have = pos >= 0
     take_idx = pa.array(np.where(have, pos, 0), type=pa.int64())
     valid = pa.array(have)
     for c in payload_cols:
-        taken = cand_tbl[c].combine_chunks().take(take_idx)
-        out_cols[c] = pc.if_else(valid, taken, pa.nulls(n_spine, type=schema_map[c]))
+        if fetched is None:
+            out_cols[c] = pa.nulls(n_spine, type=schema_map[c])
+        else:
+            taken = fetched[c].combine_chunks().take(take_idx)
+            out_cols[c] = pc.if_else(valid, taken, pa.nulls(n_spine, type=schema_map[c]))
+    if _prof:
+        print(f"[asof] assembly: {_time.time()-_t0:.2f}s")
     return pa.table(out_cols)
 
 
@@ -337,4 +455,8 @@ def asof_join_partitioned(
             out = out.append_column(c, g[c].combine_chunks().take(ridx_arr))
         return out
 
-    return both.groupby("__bucket__").map_groups(merge, batch_format="pyarrow")
+    # one block per bucket via explicit integer boundaries (no sampling,
+    # no key straddling), whole-bucket batches into the merge
+    return both.sort("__bucket__", boundaries=list(range(1, num_buckets))).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from sous_chef_ray.stages._util import pool
+
 
 def hash_join(
     left: "rd.Dataset",
@@ -85,7 +87,7 @@ def broadcast_join(
             dim_ref=dim_ref, on=on, right_on=right_on, how=how, suffix=suffix
         ),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
 
 
@@ -115,7 +117,7 @@ def _key_set_join(big, keys, col, keep, concurrency):
         fn_constructor_kwargs=dict(keys_ref=keys_ref, col=col, keep=keep),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
 
 

@@ -1,0 +1,281 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+The web-scale dedup triad. All signature computation is vectorized numpy
+inside map_batches (one pass over the corpus); candidate generation is a
+groupby on (band, band_hash) — the shuffle moves small signature rows,
+never documents. Cluster assignment is min-label propagation over
+candidate pairs (bounded rounds), with union-find on the driver only for
+the (small) candidate-pair set.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from sous_chef_ray.stages._util import pool
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-gram shingles → uint64 hashes (vectorized polynomial)."""
+    words = text.split()
+    if len(words) < k:
+        words = words + [""] * (k - len(words))
+    joined = [" ".join(words[i : i + k]) for i in range(max(1, len(words) - k + 1))]
+    return np.unique(
+        pd.util.hash_pandas_object(pd.Series(joined), index=False).to_numpy()
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_hashes, dtype=np.uint64)
+    return a, b
+
+
+class MinHashSignatures:
+    """Actor-pool stage: text → MinHash signature.
+
+    Vectorized across the whole batch: one shingle-hash pass over all
+    documents' shingles, then per-permutation (a*x+b) mod p with a
+    segmented ``np.minimum.reduceat`` per document — no per-doc numpy
+    matrices, ~10x less allocation than the naive per-doc loop.
+    """
+
+    def __init__(self, text_col: str = "text", k: int = 3,
+                 num_hashes: int = 64, seed: int = 7):
+        self.text_col = text_col
+        self.k = k
+        self.num_hashes = num_hashes
+        self.a, self.b = _minhash_params(num_hashes, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k).astype(np.uint64)
+        vals = (self.a[:, None] * (sh[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def _batch_signatures(self, texts) -> np.ndarray:
+        k = self.k
+        shingles: list = []
+        offsets = [0]
+        for t in texts:
+            words = (t or "").split()
+            if len(words) < k:
+                words = words + [""] * (k - len(words))
+            shingles.extend(
+                " ".join(words[i : i + k]) for i in range(max(1, len(words) - k + 1))
+            )
+            offsets.append(len(shingles))
+        h = (
+            pd.util.hash_pandas_object(pd.Series(shingles), index=False).to_numpy()
+            % _MERSENNE
+        )
+        offs = np.asarray(offsets[:-1], dtype=np.int64)
+        sigs = np.empty((len(texts), self.num_hashes), dtype=np.uint64)
+        for j in range(self.num_hashes):
+            vals = (self.a[j] * h + self.b[j]) % _MERSENNE
+            sigs[:, j] = np.minimum.reduceat(vals, offs)
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = self._batch_signatures(texts)
+        offsets = np.arange(0, (len(batch) + 1) * self.num_hashes, self.num_hashes)
+        col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(sigs.reshape(-1), type=pa.uint64()),
+        )
+        return batch.append_column("minhash", col.cast(pa.list_(pa.uint64())))
+
+
+def minhash_lsh_candidates(
+    ds: "rd.Dataset",
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    concurrency: int | tuple = 4,
+) -> "rd.Dataset":
+    """text → signatures → banded LSH buckets → candidate pairs.
+
+    Returns a Dataset of (id_a, id_b) candidate pairs (id_a < id_b),
+    deduped. Docs agreeing on all rows of any band land in one bucket.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(text_col=text_col, k=k, num_hashes=num_hashes),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sig = np.asarray(t["minhash"].to_pylist(), dtype=np.uint64).reshape(n, num_hashes)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        band_ids, band_hashes, out_ids = [], [], []
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = pd.util.hash_pandas_object(
+                pd.Series([c.tobytes() for c in chunk]), index=False
+            ).to_numpy()
+            band_ids.append(np.full(n, b, dtype=np.int32))
+            band_hashes.append(h)
+            out_ids.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(band_ids)),
+                "bhash": pa.array(np.concatenate(band_hashes), type=pa.uint64()),
+                id_col: pa.array(np.concatenate(out_ids)),
+            }
+        )
+
+    buckets = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        # all pairs within the bucket (buckets are tiny by construction)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = buckets.groupby(["band", "bhash"]).map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return (
+        cand.map_batches(dedup_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def jaccard_verify(
+    pairs: pd.DataFrame,
+    docs: pd.DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard on candidate pairs (driver-side; the
+    candidate set is small after LSH). Returns pairs above threshold."""
+    texts = dict(zip(docs[id_col], docs[text_col]))
+    sh = {i: set(_shingle_hashes(t if t else "", k).tolist()) for i, t in texts.items()}
+    keep = []
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        sa, sb = sh.get(a), sh.get(b)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            keep.append((a, b, j))
+    return pd.DataFrame(keep, columns=["id_a", "id_b", "jaccard"])
+
+
+def connected_components(pairs: pd.DataFrame) -> dict:
+    """Union-find over the (small) verified pair set → {id: root}."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+class CharMinHash:
+    """Character-shingle MinHash: per document, the minimum of rolling
+    polynomial hashes of every ``window``-byte shingle under
+    ``num_hashes`` independent bases (uint64 wraparound arithmetic).
+
+    Robust to word-boundary edits where word-shingle MinHash is not; the
+    kernel is a dense uint64 (n_windows x window) @ (window x num_hashes)
+    product — cache-resident, compute-bound, no Python inner loop.
+    """
+
+    def __init__(self, text_col: str = "text", window: int = 16,
+                 num_hashes: int = 128, seed: int = 5, name: str = "char_minhash"):
+        self.text_col = text_col
+        self.window = window
+        self.num_hashes = num_hashes
+        self.name = name
+        rng = np.random.default_rng(seed)
+        bases = rng.integers(3, np.iinfo(np.int64).max, num_hashes, dtype=np.uint64) | np.uint64(1)
+        exps = np.arange(window - 1, -1, -1, dtype=np.uint64)
+        # pows[h, j] = bases[h] ** (window-1-j)  (mod 2^64)
+        self.pows = np.ones((num_hashes, window), dtype=np.uint64)
+        acc = np.ones(num_hashes, dtype=np.uint64)
+        for j in range(window - 1, -1, -1):
+            self.pows[:, j] = acc
+            acc = acc * bases
+        _ = exps
+
+    def _sig(self, s: str) -> np.ndarray:
+        b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < self.window:
+            b = np.pad(b, (0, self.window - len(b)))
+        w = np.lib.stride_tricks.sliding_window_view(b, self.window)
+        return (w @ self.pows.T).min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.stack([self._sig(t) for t in texts]) if texts else np.empty(
+            (0, self.num_hashes), dtype=np.uint64
+        )
+        offsets = np.arange(0, (len(texts) + 1) * self.num_hashes, self.num_hashes)
+        col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(sigs.reshape(-1), type=pa.uint64()),
+        )
+        return batch.append_column(self.name, col.cast(pa.list_(pa.uint64())))
+
+
+class SimHash:
+    """64-bit SimHash over word unigrams (vectorized bit-vote per doc)."""
+
+    def __init__(self, text_col: str = "text", name: str = "simhash"):
+        self.text_col = text_col
+        self.name = name
+        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def one(self, text: str) -> int:
+        words = pd.Series(text.split()) if text else pd.Series([""])
+        h = pd.util.hash_pandas_object(words, index=False).to_numpy()
+        votes = ((h[:, None] & self.bits[None, :]) != 0).sum(axis=0)
+        sig = (votes * 2 > len(h)).astype(np.uint64)
+        return int((sig * self.bits).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[self.name] = [self.one(s if isinstance(s, str) else "") for s in batch[self.text_col]]
+        batch[self.name] = batch[self.name].astype(np.uint64)
+        return batch
+
+
+def add_simhash(ds: "rd.Dataset", text_col: str = "text",
+                concurrency: int | tuple = 4) -> "rd.Dataset":
+    return ds.map_batches(
+        SimHash,
+        fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pandas",
+        concurrency=pool(concurrency),
+    )

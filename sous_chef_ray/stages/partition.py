@@ -42,17 +42,24 @@ def partition_apply(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 64,
 ) -> "rd.Dataset":
+    """Physical plan: tag bucket → range sort on the bucket id with
+    EXPLICIT integer boundaries [1..num_buckets-1] (one output block per
+    bucket, no sampling pass, no key straddling) → ``map_batches`` with
+    ``batch_size=None`` so each call sees exactly one whole bucket.
+    Measured ~2x faster than groupby().map_groups for the same shuffle
+    (scripts/profile_window.py)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         return add_bucket(df, keys, num_buckets)
 
-    def apply(g: pd.DataFrame) -> pd.DataFrame:
-        out = fn(g.drop(columns=[BUCKET_COL]))
-        return out
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.drop(columns=[BUCKET_COL], errors="ignore")
+        return fn(df.drop(columns=[BUCKET_COL]))
 
     return (
         ds.map_batches(tag, batch_format="pandas")
-        .groupby(BUCKET_COL)
-        .map_groups(apply, batch_format="pandas")
+        .sort(BUCKET_COL, boundaries=list(range(1, num_buckets)))
+        .map_batches(apply, batch_format="pandas", batch_size=None)
     )

@@ -1,0 +1,174 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All stages are vectorized map_batches transforms (pyarrow.compute / numpy);
+the language-ID stage is an actor-pool class so its profiles are built once
+per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from sous_chef_ray.stages._util import pool
+
+_WS = r"\s+"
+
+
+def add_token_count(ds: "rd.Dataset", text_col: str = "text",
+                    name: str = "n_words") -> "rd.Dataset":
+    """Whitespace token count, matching DuckDB
+    length(regexp_split_to_array(trim(text), '\\s+'))."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t[text_col])
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, _WS))
+        return t.append_column(name, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_quality_score(ds: "rd.Dataset", text_col: str = "text") -> "rd.Dataset":
+    """Length / punctuation / word-shape quality features:
+    n_words, chars_per_word, alnum_ratio — the standard cheap quality
+    gates for web-scale corpus filtering (C4/Gopher-style heuristics)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        trimmed = pc.utf8_trim_whitespace(text)
+        n_words = pc.cast(
+            pc.list_value_length(pc.split_pattern_regex(trimmed, _WS)), pa.int64()
+        )
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        stripped = pc.replace_substring_regex(text, "[^a-zA-Z0-9 ]", "")
+        n_alnum = pc.cast(pc.utf8_length(stripped), pa.int64())
+        chars_per_word = pc.divide(
+            pc.cast(n_chars, pa.float64()), pc.cast(n_words, pa.float64())
+        )
+        alnum_ratio = pc.divide(
+            pc.cast(n_alnum, pa.float64()), pc.cast(n_chars, pa.float64())
+        )
+        t = t.append_column("n_words", n_words)
+        t = t.append_column("chars_per_word", chars_per_word)
+        t = t.append_column("alnum_ratio", alnum_ratio)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_md5_fingerprint(ds: "rd.Dataset", text_col: str = "text",
+                        name: str = "fingerprint") -> "rd.Dataset":
+    """Exact content fingerprint (md5 hex) — the dedup key for exact
+    dedup at scale: shuffle 16-byte hashes, not documents."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = t[text_col].to_pylist()
+        digests = [hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None
+                   for v in vals]
+        return t.append_column(name, pa.array(digests, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ROLL_BASE = 1000003
+_U64 = (1 << 64) - 1
+
+
+def rolling_fingerprint_one(s: str, window: int = 16) -> int:
+    """Rolling (Rabin-Karp) fingerprint: the MINIMUM of all windowed
+    polynomial hashes of the byte stream (uint64 wraparound) — robust to
+    small appends/prepends. Pure-int kernel: Python big-int arithmetic
+    with an explicit mask measured ~5x faster than np-scalar ops and
+    near-perfectly CPU-parallel (bench.py scaling probe)."""
+    b = s.encode("utf-8")
+    if len(b) < window:
+        h = 0
+        for x in b:
+            h = (h * ROLL_BASE + x) & _U64
+        return h
+    bw = pow(ROLL_BASE, window - 1, 1 << 64)
+    cur = 0
+    for x in b[:window]:
+        cur = (cur * ROLL_BASE + x) & _U64
+    best = cur
+    for i in range(1, len(b) - window + 1):
+        cur = ((cur - b[i - 1] * bw) * ROLL_BASE + b[i + window - 1]) & _U64
+        if cur < best:
+            best = cur
+    return best
+
+
+def add_rolling_fingerprint(ds: "rd.Dataset", text_col: str = "text",
+                            name: str = "rh_fingerprint",
+                            window: int = 16) -> "rd.Dataset":
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[name] = [
+            rolling_fingerprint_one(s, window) if isinstance(s, str) else None
+            for s in df[text_col]
+        ]
+        df[name] = df[name].astype("UInt64")
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# Common-word profiles for a cheap n-gram/stopword language heuristic
+# (public-knowledge frequent words; NOT trained on any data).
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: marker-word overlap + CJK-codepoint
+    ratio, profiles compiled once per actor in __init__."""
+
+    def __init__(self, text_col: str = "text", name: str = "lang_pred"):
+        import re
+
+        self.text_col = text_col
+        self.name = name
+        self.word = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for s in batch[self.text_col]:
+            if not isinstance(s, str) or not s:
+                preds.append(None)
+                continue
+            cjk = sum(1 for ch in s[:200] if "一" <= ch <= "鿿")
+            if cjk > len(s[:200]) * 0.2:
+                preds.append("zh")
+                continue
+            words = [w.lower() for w in self.word.findall(s[:1000])]
+            scores = {
+                lang: sum(w in mk for w in words)
+                for lang, mk in self.markers.items()
+            }
+            best = max(scores, key=lambda k: (scores[k], k))
+            preds.append(best if scores[best] > 0 else "en")
+        batch = batch.copy()
+        batch[self.name] = preds
+        return batch
+
+
+def add_lang_id(ds: "rd.Dataset", text_col: str = "text",
+                concurrency: int | tuple = 4) -> "rd.Dataset":
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pandas",
+        concurrency=pool(concurrency),
+    )

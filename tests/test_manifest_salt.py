@@ -1,0 +1,115 @@
+"""Checkpoint-manifest resume semantics + salting equivalence."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from sous_chef_ray.sources.synth import token_table
+from sous_chef_ray.state.manifest import Manifest, run_partitioned, table_checksum
+from sous_chef_ray.stages.salt import (
+    SALT_SEP,
+    detect_hot_keys,
+    replicate_for_salt,
+    salt_keys,
+    strip_salt,
+)
+
+
+@pytest.fixture()
+def sharded_input(tmp_path):
+    tbl = token_table(4000, seed=42, n_docs=60)
+    shards = {}
+    for i in range(4):
+        p = str(tmp_path / f"in_{i}.parquet")
+        pq.write_table(tbl.slice(i * 1000, 1000), p)
+        shards[f"{i:04d}"] = [p]
+    return shards, tmp_path
+
+
+def _process(ds):
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.append_column("n_tok2", pc.multiply(t["n_tok"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+def test_resume_skips_done_and_outputs_equal(sharded_input):
+    shards, tmp = sharded_input
+
+    out_a = str(tmp / "out_a")
+    recs_a = run_partitioned(shards, _process, out_a, sort_by=["doc_id", "event_ts"])
+    assert len(recs_a) == 4
+
+    # interrupted run: process only 2 partitions, then "crash"
+    out_b = str(tmp / "out_b")
+    first_two = dict(list(shards.items())[:2])
+    run_partitioned(first_two, _process, out_b, sort_by=["doc_id", "event_ts"])
+    # leave a stale temp dir behind to simulate mid-write crash
+    os.makedirs(os.path.join(out_b, "_tmp_part=0002"), exist_ok=True)
+
+    calls = []
+
+    def counting_process(ds):
+        calls.append(1)
+        return _process(ds)
+
+    recs_b = run_partitioned(shards, counting_process, out_b, sort_by=["doc_id", "event_ts"])
+    assert len(calls) == 2  # only the 2 missing partitions ran
+    assert len(recs_b) == 4
+
+    for pid in shards:
+        ta = pq.read_table(os.path.join(out_a, f"part={pid}"))
+        tb = pq.read_table(os.path.join(out_b, f"part={pid}"))
+        assert table_checksum(ta, ["doc_id", "event_ts"]) == table_checksum(
+            tb, ["doc_id", "event_ts"]
+        )
+        assert recs_a[pid].checksum == recs_b[pid].checksum
+        assert recs_a[pid].row_count == len(ta)
+
+
+def test_manifest_roundtrip(tmp_path):
+    m = Manifest(str(tmp_path / "m.jsonl"))
+    assert m.load() == {}
+
+
+def test_salting_preserves_results():
+    """Grouped count over salted keys == unsalted after shard re-merge."""
+    tbl = token_table(6000, seed=7, n_docs=30)  # few docs → hot keys
+    ds = rd.from_arrow(tbl)
+    hot = detect_hot_keys(ds, "doc_id", threshold=0.05)
+    assert hot, "expected hot keys in a 30-doc zipf table"
+
+    salted = salt_keys(rd.from_arrow(tbl), "doc_id", hot, factor=4)
+    per_shard = (
+        salted.groupby("doc_id__salted").count().to_pandas()
+    )
+    per_shard["doc_id"] = per_shard["doc_id__salted"].str.split(SALT_SEP).str[0]
+    merged = per_shard.groupby("doc_id")["count()"].sum().sort_index()
+
+    truth = tbl.to_pandas().groupby("doc_id").size().sort_index()
+    assert (merged.values == truth.values).all()
+    # hot keys actually fanned out
+    hot_key = next(iter(hot))
+    shards = per_shard[per_shard["doc_id"] == hot_key]
+    assert len(shards) > 1
+
+
+def test_replicate_for_salt_covers_all_shards():
+    dim = pd.DataFrame({"doc_id": ["a", "b"], "v": [1, 2]})
+    rep = replicate_for_salt(dim, "doc_id", {"a"}, factor=3)
+    a_rows = rep[rep["doc_id"] == "a"]
+    assert sorted(a_rows["doc_id__salted"]) == [f"a{SALT_SEP}{i}" for i in range(3)]
+    assert (rep[rep["doc_id"] == "b"]["doc_id__salted"] == "b").all()
+
+
+def test_strip_salt():
+    df = pd.DataFrame({"k": ["x"], "k__salted": ["x\x001"]})
+    out = strip_salt(rd.from_pandas(df), "k__salted").to_pandas()
+    assert list(out.columns) == ["k"]

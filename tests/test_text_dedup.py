@@ -1,0 +1,109 @@
+"""Text analysis + dedup family: exact dedup semantics, minhash recall on
+planted near-dups, simhash similarity, knn correctness vs numpy oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from sous_chef_ray.stages.dedup import exact_dedup
+from sous_chef_ray.stages.neardup import (
+    MinHashSignatures,
+    connected_components,
+    jaccard_verify,
+    minhash_lsh_candidates,
+)
+from sous_chef_ray.stages.similarity import knn_brute_force
+from sous_chef_ray.stages.text import add_md5_fingerprint, add_token_count
+
+
+def test_exact_dedup_keeps_min_id():
+    df = pd.DataFrame(
+        {"doc_id": [5, 3, 1, 2, 4], "text": ["a", "a", "b", "b", "c"]}
+    )
+    out = (
+        exact_dedup(rd.from_pandas(df), "text", keep_by="doc_id")
+        .to_pandas().sort_values("text").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [3, 1, 4]
+
+
+def test_token_count_and_md5():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["  a b   c ", "hello"]})
+    out = add_token_count(rd.from_pandas(df), "text").to_pandas()
+    assert list(out.sort_values("doc_id")["n_words"]) == [3, 1]
+    fp = add_md5_fingerprint(rd.from_pandas(df), "text").to_pandas()
+    import hashlib
+
+    assert fp.sort_values("doc_id")["fingerprint"].iloc[1] == hashlib.md5(b"hello").hexdigest()
+
+
+def _planted_docs():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(40):
+        words = list(rng.choice(vocab, 60))
+        texts.append(" ".join(words))
+        ids.append(2 * i)
+        # planted near-dup: same words with 3 substitutions
+        dup = words.copy()
+        for j in rng.choice(60, 3, replace=False):
+            dup[j] = str(rng.choice(vocab))
+        texts.append(" ".join(dup))
+        ids.append(2 * i + 1)
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def test_minhash_lsh_finds_planted_pairs():
+    docs = _planted_docs()
+    cand = minhash_lsh_candidates(
+        rd.from_pandas(docs), "doc_id", "text", k=3, num_hashes=64, bands=16,
+        concurrency=2,
+    ).to_pandas()
+    verified = jaccard_verify(cand, docs, "doc_id", "text", k=3, threshold=0.5)
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    found = set(zip(verified["id_a"], verified["id_b"]))
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    comp = connected_components(verified)
+    # every planted pair in one cluster
+    hits = sum(comp.get(a, a) == comp.get(b, b) for a, b in planted & found)
+    assert hits == len(planted & found)
+
+
+def test_minhash_estimates_jaccard():
+    sig = MinHashSignatures(num_hashes=256)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox leaps over the lazy dog " * 5
+    sa, sb = sig.signature(a), sig.signature(b)
+    est = (sa == sb).mean()
+    from sous_chef_ray.stages.neardup import _shingle_hashes
+
+    xa = set(_shingle_hashes(a, 3).tolist())
+    xb = set(_shingle_hashes(b, 3).tolist())
+    true_j = len(xa & xb) / len(xa | xb)
+    assert abs(est - true_j) < 0.15
+
+
+def test_knn_vs_numpy_oracle():
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+        }
+    )
+    q = tbl.slice(0, 5)
+    out = knn_brute_force(
+        rd.from_arrow(tbl).repartition(4), q, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=3, concurrency=2, batch_size=64,
+    )
+    m = emb.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m[:5] @ m.T
+    for qi in range(5):
+        order = np.lexsort((np.arange(200), -sims[qi]))[:3]
+        got = out[out["qid"] == qi]["neighbor_id"].tolist()
+        assert got == order.tolist(), (qi, got, order)
