@@ -807,6 +807,164 @@ def embedding_nearest_neighbor(sf_dir: str):
     return out[["qid", "neighbor_id", "cosine_sim"]]
 
 
+_PUSHDOWN_SQL = """
+SELECT user_id, COUNT(*) AS n_errors,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS error_value
+FROM events WHERE event_type = 'error' GROUP BY user_id
+"""
+
+
+@register("error_events_per_user", _PUSHDOWN_SQL)
+def error_events_per_user(sf_dir: str):
+    """WHERE pushdown at the read (SURVEY §2.C2): the predicate is a
+    pyarrow dataset expression passed to read_parquet, so non-matching
+    row groups never leave storage."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "error"),
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    agg = (
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_errors"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    agg["error_value"] = agg["cents"] / 100.0
+    return agg[["user_id", "n_errors", "error_value"]]
+
+
+@register("doc_rolling_fingerprints")  # rows-only (hash values not SQL-expressible)
+def doc_rolling_fingerprints(sf_dir: str):
+    """Rolling (Rabin-Karp) min-hash fingerprint per document — the
+    append/prepend-robust dedup key (stages/text)."""
+    from sous_chef_ray.stages.text import add_rolling_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_rolling_fingerprint(docs, "text").select_columns(["doc_id", "rh_fingerprint"])
+    df = out.to_pandas()
+    df["rh_fingerprint"] = df["rh_fingerprint"].astype("uint64")
+    return df
+
+
+@register("char_minhash_signatures")  # rows-only
+def char_minhash_signatures(sf_dir: str):
+    """Character-shingle MinHash signatures (16-byte windows, 32 bases)
+    — word-boundary-robust near-dup family (stages/neardup.CharMinHash)."""
+    from sous_chef_ray.stages.neardup import CharMinHash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        CharMinHash,
+        fn_constructor_kwargs=dict(text_col="text", window=16, num_hashes=32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    ).select_columns(["doc_id", "char_minhash"])
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+@register("knn_lsh_top5")  # approximate → rows-only
+def knn_lsh_top5(sf_dir: str):
+    """LSH-bucketed approximate cosine top-5 (scale path of similarity
+    search): only same-bucket candidates are scored."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.similarity import knn_lsh_bucketed
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 10))
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 10)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = knn_lsh_bucketed(
+        corpus, q_tbl, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=5,
+        num_tables=12, bits=6, concurrency=2,
+    )
+    out["cosine_sim"] = out["cosine_sim"].round(6)
+    return out[["qid", "neighbor_id", "cosine_sim"]]
+
+
+@register("multimodal_decode")  # stubbed decode → rows-only
+def multimodal_decode(sf_dir: str):
+    """Binary media column → per-image feature rows via the actor-pool
+    decode stage (deterministic fake decode; real codec is the stub
+    boundary — stages/multimodal)."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.multimodal import decode_images, synth_image_table
+
+    imgs = rd.from_arrow(synth_image_table(512, seed=42))
+    return decode_images(imgs, fake=True, concurrency=2, batch_size=64)
+
+
+_DERIVED_SQL = """
+SELECT n_name, COUNT(*) AS n_big_customers,
+       SUM(CAST(ROUND(total_spend * 100) AS BIGINT)) / 100.0 AS spend
+FROM (
+  SELECT c.c_custkey, c.c_nationkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+) big JOIN nation n ON big.c_nationkey = n.n_nationkey
+WHERE big.total_spend > 500000
+GROUP BY n_name
+"""
+
+
+@register("big_spenders_by_nation", _DERIVED_SQL)
+def big_spenders_by_nation(sf_dir: str):
+    """Derived-table composition (SURVEY §2.C20): aggregate subquery →
+    filter → dim join → re-aggregate, all as chained Datasets."""
+    from sous_chef_ray.stages.join import broadcast_join, hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+        })
+
+    spend = (
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    joined = hash_join(spend, cust, on="o_custkey", right_on="c_custkey",
+                       join_type="inner", num_partitions=8)
+    big = joined.map_batches(
+        lambda t: t.filter(pc.greater(t["cents"], 50000000)),
+        batch_format="pyarrow",
+    )
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    withnation = broadcast_join(big, nation, on="c_nationkey",
+                                right_on="n_nationkey", how="inner", concurrency=2)
+    agg = (
+        withnation.groupby("n_name")
+        .aggregate(Count(alias_name="n_big_customers"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    agg["spend"] = agg["cents"] / 100.0
+    return agg[["n_name", "n_big_customers", "spend"]]
+
+
 # ---------------------------------------------------------------------------
 # C3: grouped aggregation (TPC-H Q1-like pricing summary)
 # ---------------------------------------------------------------------------

@@ -135,7 +135,9 @@ def sample_frames(
             }
         )
 
+    # plain function → task pool; concurrency must be an int cap
+    cap = concurrency if isinstance(concurrency, int) else max(concurrency)
     return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=pool(concurrency),
+        concurrency=cap,
     )

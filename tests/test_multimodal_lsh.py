@@ -1,0 +1,71 @@
+"""Multimodal plumbing + LSH-approximate similarity tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from sous_chef_ray.stages.multimodal import (
+    DecodeImages,
+    decode_images,
+    sample_frames,
+    synth_image_table,
+)
+from sous_chef_ray.stages.similarity import knn_brute_force, knn_lsh_bucketed
+
+
+def test_decode_images_schema_and_determinism():
+    imgs = synth_image_table(64, seed=42)
+    out = decode_images(rd.from_arrow(imgs), fake=True, concurrency=2, batch_size=16)
+    df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert list(df.columns) == [
+        "media_id", "width", "height", "checksum",
+        "mean_px", "std_px", "min_px", "max_px",
+    ]
+    assert len(df) == 64
+    # deterministic: same input → same checksums
+    df2 = (
+        decode_images(rd.from_arrow(imgs), fake=True, concurrency=2, batch_size=16)
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert (df["checksum"] == df2["checksum"]).all()
+
+
+def test_decode_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        DecodeImages(fake=False)
+
+
+def test_sample_frames_layout():
+    imgs = synth_image_table(8, seed=1)
+    out = sample_frames(rd.from_arrow(imgs), every_nth=2, batch_size=4).to_pandas()
+    assert set(out.columns) == {"media_id", "frame_index", "byte_offset"}
+    assert (out["byte_offset"] == out["frame_index"] * 1024).all()
+    assert (out["frame_index"] % 2 == 0).all()
+
+
+def test_lsh_knn_recall_vs_brute_force():
+    rng = np.random.default_rng(12)
+    emb = rng.standard_normal((400, 32)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+            "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+        }
+    )
+    q = tbl.slice(0, 8)
+    exact = knn_brute_force(
+        rd.from_arrow(tbl), q, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=5, concurrency=2,
+    )
+    approx = knn_lsh_bucketed(
+        rd.from_arrow(tbl), q, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=5,
+        num_tables=16, bits=5, concurrency=2,
+    )
+    recalls = []
+    for qid in range(8):
+        e = set(exact[exact["qid"] == qid]["neighbor_id"])
+        a = set(approx[approx["qid"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
