@@ -64,6 +64,9 @@ class SourceRegistry:
 
 
 def filter_source_config(source_type: str, config: Dict[str, Any]) -> Dict[str, Any]:
-    """Whitelist kwargs per source type (reference: sous_chef.py:119-125)."""
-    allowed = SOURCE_PARAMS.get(source_type, [])
+    """Whitelist kwargs per source type; unknown types pass through
+    untouched (reference: sous_chef.py:119-125)."""
+    if source_type not in SOURCE_PARAMS:
+        return config
+    allowed = SOURCE_PARAMS[source_type]
     return {k: v for k, v in config.items() if k in allowed}
