@@ -147,6 +147,72 @@ def orders_array_per_customer(sf_dir: str):
                      order_by="o_orderkey", name="order_keys", num_buckets=16)
 
 
+_LISTAGG_SQL = """
+SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+  AS statuses
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("listagg_statuses", _LISTAGG_SQL)
+def listagg_statuses(sf_dir: str):
+    """LISTAGG / string_agg DISTINCT WITHIN GROUP (SURVEY §2.C6)."""
+    from sous_chef_ray.stages.agg import array_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    arr = array_agg(li, "l_returnflag", "l_linestatus",
+                    distinct=True, name="vals", num_buckets=4).to_pandas()
+    arr["statuses"] = arr["vals"].map(lambda v: ",".join(sorted(v)))
+    return arr[["l_returnflag", "statuses"]]
+
+
+_DISTINCT_SQL = """
+SELECT DISTINCT lang FROM documents
+"""
+
+
+@register("distinct_langs", _DISTINCT_SQL)
+def distinct_langs(sf_dir: str):
+    """SELECT DISTINCT via Dataset.unique (shuffle of distinct values)."""
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    vals = sorted(docs.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+_CROSS_SQL = """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+"""
+
+
+@register("region_nation_cross", _CROSS_SQL)
+def region_nation_cross(sf_dir: str):
+    """CROSS JOIN via broadcast (SURVEY §2.C12): the small side is sent
+    once and merged per batch with how='cross'."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.join import broadcast_join
+
+    region = _read(sf_dir, "region", columns=["r_name"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_name"])
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(nation.to_pandas(), how="cross")
+
+    return region.map_batches(cross, batch_format="pandas")
+
+
+@register("approx_distinct_users")  # sketch → rows-only (tolerance, not equality)
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): mergeable
+    per-batch sketches (2^14 B each), merged driver-side
+    (stages/sketch.py; ±~1% at p=14 — see tests)."""
+    from sous_chef_ray.stages.sketch import approx_count_distinct
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_count_distinct(ev, "user_id", p=14)
+    return pd.DataFrame({"approx_n_users": [float(round(est, 1))]})
+
+
 # ---------------------------------------------------------------------------
 # C12: joins — hash (large-large), broadcast (dim), semi/anti
 # ---------------------------------------------------------------------------
