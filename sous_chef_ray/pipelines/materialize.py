@@ -78,34 +78,49 @@ def window_features(
     num_buckets: int = 128,
 ) -> "rd.Dataset":
     """Fused per-key window features in ONE shuffle: lag/lead of
-    ``value_col`` + gap-based session ids, vectorized per bucket."""
+    ``value_col`` + gap-based session ids. Arrow-native per bucket —
+    token/list payload columns move by zero-copy take, never through
+    pandas object arrays."""
+    import pyarrow.compute as pc
+
     from sous_chef_ray.stages.partition import partition_apply
 
     gap_ns = pd.Timedelta(session_gap or pd.Timedelta(hours=6)).value
 
-    def fn(df):
-        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(drop=True)
-        n = len(df)
-        if n == 0:
-            return df
-        g = df.groupby(key, sort=False)[value_col]
-        df[f"{value_col}_lag1"] = g.shift(1)
-        df[f"{value_col}_lead1"] = g.shift(-1)
-        tsv = df[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
-        kv = df[key].to_numpy()
+    def fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key, "ascending"), (ts_col, "ascending"), (tie_col, "ascending")],
+        )
+        t = t.take(idx)
+        n = len(t)
+        kv = t[key].to_numpy(zero_copy_only=False)
+        vals = t[value_col].combine_chunks()
+        vnp = vals.to_numpy(zero_copy_only=False)
         key_change = np.zeros(n, dtype=bool)
         key_change[0] = True
         key_change[1:] = kv[1:] != kv[:-1]
+        key_end = np.zeros(n, dtype=bool)
+        key_end[-1] = True
+        key_end[:-1] = kv[1:] != kv[:-1]
+        lag = pa.array(np.roll(vnp, 1), type=vals.type, mask=key_change)
+        lead = pa.array(np.roll(vnp, -1), type=vals.type, mask=key_end)
+        tsv = (
+            t[ts_col].combine_chunks().cast(pa.timestamp("ns")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         diff = np.empty(n, dtype=np.int64)
         diff[0] = 0
         diff[1:] = tsv[1:] - tsv[:-1]
         is_new = key_change | (diff > gap_ns)
         sid = np.cumsum(is_new)
         base = np.maximum.accumulate(np.where(key_change, sid, 0))
-        df["session_id"] = (sid - base + 1).astype(np.int64)
-        return df
+        t = t.append_column(f"{value_col}_lag1", lag)
+        t = t.append_column(f"{value_col}_lead1", lead)
+        t = t.append_column("session_id", pa.array((sid - base + 1).astype(np.int64)))
+        return t
 
-    return partition_apply(ds, key, fn, num_buckets)
+    return partition_apply(ds, key, fn, num_buckets, batch_format="pyarrow")
 
 
 def materialize_features(
@@ -140,11 +155,21 @@ def materialize_features(
 
 def flagship(sf_dir: str, concurrency: int | tuple = 4) -> pa.Table:
     """End-to-end flagship over driver testdata: tokenize documents →
-    token table → spine from per-doc query times → as-of features."""
+    token table → window features (lag/lead + sessions, one shuffle) →
+    point-in-time as-of join of a spine with TTL + tie-break."""
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     token_ds = tokenize_documents(docs)
+    feat_ds = window_features(
+        token_ds,
+        key="doc_id",
+        ts_col="event_ts",
+        tie_col="created_ts",
+        value_col="n_tok",
+        session_gap=pd.Timedelta(hours=6),
+        num_buckets=16,
+    )
 
     import pyarrow.parquet as pq
 
@@ -158,4 +183,16 @@ def flagship(sf_dir: str, concurrency: int | tuple = 4) -> pa.Table:
             "event_timestamp": pa.array(ts, type=pa.timestamp("us")),
         }
     )
-    return materialize_features(token_ds, spine, concurrency=concurrency)
+    from sous_chef_ray.stages.asof import asof_join_broadcast
+
+    return asof_join_broadcast(
+        feat_ds,
+        spine,
+        key="doc_id",
+        spine_ts="event_timestamp",
+        feature_ts="event_ts",
+        tie_col="created_ts",
+        payload_cols=["tokens", "n_tok", "source", "n_tok_lag1", "n_tok_lead1", "session_id"],
+        ttl=pd.Timedelta(days=30),
+        concurrency=concurrency,
+    )

@@ -39,16 +39,50 @@ def add_bucket(df: pd.DataFrame, keys: List[str], num_buckets: int) -> pd.DataFr
 def partition_apply(
     ds: "rd.Dataset",
     keys: List[str] | str,
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     num_buckets: int = 64,
+    batch_format: str = "pandas",
 ) -> "rd.Dataset":
     """Physical plan: tag bucket → range sort on the bucket id with
     EXPLICIT integer boundaries [1..num_buckets-1] (one output block per
     bucket, no sampling pass, no key straddling) → ``map_batches`` with
     ``batch_size=None`` so each call sees exactly one whole bucket.
     Measured ~2x faster than groupby().map_groups for the same shuffle
-    (scripts/profile_window.py)."""
+    (scripts/profile_window.py).
+
+    ``batch_format="pyarrow"`` keeps list/token columns zero-copy Arrow
+    end-to-end (use for wide payload rows); ``fn`` then receives/returns
+    a pyarrow.Table.
+    """
     keys = [keys] if isinstance(keys, str) else list(keys)
+
+    if batch_format == "pyarrow":
+        import pyarrow as pa
+
+        def tag_arrow(t: "pa.Table") -> "pa.Table":
+            h = pd.util.hash_pandas_object(
+                pd.Series(t[keys[0]].to_numpy(zero_copy_only=False))
+                if len(keys) == 1
+                else pd.Series(
+                    list(zip(*[t[k].to_numpy(zero_copy_only=False) for k in keys]))
+                ),
+                index=False,
+            ).to_numpy()
+            bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+            return t.append_column(BUCKET_COL, pa.array(bucket))
+
+        def apply_arrow(t: "pa.Table") -> "pa.Table":
+            t = t.drop_columns([BUCKET_COL])
+            if len(t) == 0:
+                return t
+            return fn(t)
+
+        return (
+            ds.map_batches(tag_arrow, batch_format="pyarrow", zero_copy_batch=True)
+            .sort(BUCKET_COL, boundaries=list(range(1, num_buckets)))
+            .map_batches(apply_arrow, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+        )
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         return add_bucket(df, keys, num_buckets)
