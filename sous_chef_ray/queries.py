@@ -444,6 +444,41 @@ def top10_orders_global(sf_dir: str):
     )
 
 
+@register("asof_last_purchase_partitioned", _ASOF_SQL)
+def asof_last_purchase_partitioned(sf_dir: str):
+    """Same point-in-time semantics via the LARGE-LARGE strategy:
+    hash-bucket co-partitioned sorted merge (stages.asof
+    .asof_join_partitioned) — validates both physical plans against one
+    oracle."""
+    from sous_chef_ray.stages.asof import asof_join_partitioned
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def to_feats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"user_id": t["user_id"], "fts": t["ts"], "value": t["value"]})
+
+    def to_spine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"]})
+
+    feats = ev.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
+    spine = ev.map_batches(to_spine, batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join_partitioned(
+        spine, feats, key="user_id", left_ts="ts", right_ts="fts",
+        payload_cols=["value"], ttl=pd.Timedelta(days=7), num_buckets=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"].cast(pa.timestamp("us")),
+            "last_purchase_value": t["value"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # B4: latest-per-key dedup
 # ---------------------------------------------------------------------------

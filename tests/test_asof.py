@@ -124,6 +124,15 @@ def test_partitioned_matches_broadcast(data):
     pd.testing.assert_frame_equal(b_n, p_n, check_dtype=False)
 
 
+def test_synth_invariant_n_tok_equals_len(data):
+    """F1 invariant (FIXTURES.md): n_tok always equals len(tokens)."""
+    features, _ = data
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(features["tokens"]).cast(pa.int32())
+    assert pc.all(pc.equal(lens, features["n_tok"])).as_py()
+
+
 def test_unknown_keys_all_null(data):
     features, spine = data
     got = asof_join_broadcast(

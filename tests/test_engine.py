@@ -34,7 +34,7 @@ FEATURES_YAML = {
 
 RULES = {
     "required_tags": {"global": [], "feature_view": [], "feature": [], "feature_service": []},
-    "optional_tags": {"global": []},
+    "optional_tags": {"global": ["description", "domain"]},
 }
 
 
@@ -215,6 +215,31 @@ def test_two_view_service_concat(repo):
     }
     assert out["total_purchases"].notna().all()
     assert out["purchase_count"].notna().all()
+
+
+def test_unicode_tags_preserved(repo):
+    """Unicode/emoji metadata survives the YAML → object path end-to-end
+    (reference pins this: tests/test_sous_chef.py:224-237)."""
+    eng, _, tmp = repo
+    spec = {
+        "feature_views": {
+            "uni_view": {
+                "source_name": "customer_data",
+                "entities": ["customer"],
+                "schema": [
+                    {"name": "total_purchases", "dtype": "FLOAT",
+                     "tags": {"description": "🚀 Résumé © † ∑ ∀ 数据"}}
+                ],
+                "tags": {"description": "统计 ∞ emoji 🎯"},
+            }
+        }
+    }
+    with open(tmp / "uni.yaml", "w", encoding="utf-8") as f:
+        yaml.dump(spec, f, allow_unicode=True)
+    objs = eng.create_from_yaml("uni.yaml", apply=True)
+    view = objs["uni_view"]
+    assert view.tags["description"] == "统计 ∞ emoji 🎯"
+    assert view.schema[0].tags["description"] == "🚀 Résumé © † ∑ ∀ 数据"
 
 
 def test_ttl_expiry_yields_nulls(repo):
