@@ -11,19 +11,20 @@ subject to feature_ts >= ts - ttl, else typed nulls; ties on
 Two physical strategies, both streaming:
 
 * ``asof_join_broadcast`` — the spine (entity dataframe) is small relative
-  to the feature table (the common point-in-time-retrieval shape). The
-  spine is ``ray.put`` ONCE and read once per actor in ``__init__``; the
-  big feature table streams through a stateless-per-batch sorted
-  ``pd.merge_asof`` that emits at most one candidate row per spine row per
-  batch; a final (tiny) reduce picks the max (feature_ts, tie) candidate
-  per spine row. The 10^12-row side is read exactly once, never shuffled,
-  never materialized.
+  to the feature table (the common point-in-time-retrieval shape). Two
+  streaming passes of stateless tasks (the broadcast spine/winner set is
+  ``ray.put`` once and cached per worker process): (1) a SLIM candidate
+  pass over only (key, ts, tie) columns — per batch, a sorted
+  ``pd.merge_asof`` emits at most one candidate per spine row; a numpy
+  lexsort reduce picks each spine row's winner; (2) a payload FETCH pass
+  that inner-joins each batch against the winner set — wide token
+  payloads never enter a shuffle or a spine-sized merge.
 
 * ``asof_join_partitioned`` — both sides large: hash-bucket co-partition
-  on the key (same bucket count both sides), union with a side tag, and
-  run a per-bucket sorted merge inside ``groupby(bucket).map_groups``.
-  Partitioning assumption: a key's rows never straddle buckets (guaranteed
-  by hashing the key itself).
+  on the key (same bucket count both sides), union with a side tag,
+  explicit-boundary sort on the bucket id, and a per-bucket sorted merge
+  over whole-bucket Arrow batches. Partitioning assumption: a key's rows
+  never straddle buckets (guaranteed by hashing the key itself).
 """
 
 from __future__ import annotations
@@ -38,7 +39,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from sous_chef_ray.stages._util import pool
 
 
 def _ts_to_int(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -56,10 +56,34 @@ def _ts_to_int(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+# per-worker-process broadcast cache: stateless map_batches tasks reuse
+# worker processes, so each worker fetches + sorts the spine exactly once
+# (tasks spread across ALL CPUs immediately — an actor pool ramping from
+# one actor serializes short phases)
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_broadcast(ref, sort_by: Optional[str] = None) -> pd.DataFrame:
+    key = (ref.hex() if hasattr(ref, "hex") else id(ref), sort_by)
+    df = _BROADCAST_CACHE.get(key)
+    if df is None:
+        df = ray.get(ref)
+        if sort_by:
+            df = df.sort_values(sort_by, kind="mergesort").reset_index(drop=True)
+        if len(_BROADCAST_CACHE) > 4:
+            _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = df
+    return df
+
+
+def _cached_sorted_spine(spine_ref) -> pd.DataFrame:
+    return _cached_broadcast(spine_ref, sort_by="__ts__")
+
+
 class _AsofCandidates:
-    """Actor-pool stage: per feature batch, emit the best candidate per
-    spine row present in the batch. Spine is fetched from the object store
-    once per actor (broadcast), sorted once in __init__."""
+    """Per feature batch, emit the best candidate per spine row present
+    in the batch. Runs as stateless tasks; the broadcast spine comes from
+    the per-worker cache."""
 
     def __init__(
         self,
@@ -70,8 +94,7 @@ class _AsofCandidates:
         payload_cols: List[str],
         ttl_us: Optional[int],
     ):
-        spine: pd.DataFrame = ray.get(spine_ref)  # columns: key, __ts__, __spine_idx__
-        self.spine = spine.sort_values("__ts__", kind="mergesort").reset_index(drop=True)
+        self.spine = _cached_sorted_spine(spine_ref)
         self.key = key
         self.feature_ts = feature_ts
         self.tie_col = tie_col
@@ -199,22 +222,27 @@ def asof_join_broadcast(
     # bytes. Candidates are 24 B/row; the driver reduce is a numpy lexsort.
     slim_cols = [key, feature_ts] + ([tie_col] if tie_col else [])
     slim_ds = slim_features if slim_features is not None else features.select_columns(slim_cols)
+    cand_params = dict(
+        spine_ref=spine_ref,
+        key=key,
+        feature_ts=feature_ts,
+        tie_col=tie_col,
+        payload_cols=[],
+        ttl_us=ttl_us,
+    )
+
+    def gen_cands(batch: pa.Table) -> pa.Table:
+        # stateless task: constructing the op is cheap (spine comes from
+        # the per-worker broadcast cache); tasks use every CPU at once
+        return _AsofCandidates(**cand_params)(batch)
+
     cands = slim_ds.map_batches(
-        _AsofCandidates,
-        fn_constructor_kwargs=dict(
-            spine_ref=spine_ref,
-            key=key,
-            feature_ts=feature_ts,
-            tie_col=tie_col,
-            payload_cols=[],
-            ttl_us=ttl_us,
-        ),
+        gen_cands,
         batch_format="pyarrow",
         # slim rows are ~24 B: big batches mean few spine-side merges and
         # few candidate duplicates (candidates ≈ spine_rows × n_batches)
         batch_size=batch_size * 4,
         zero_copy_batch=True,
-        concurrency=pool(concurrency),
     )
     batches = [
         b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow") if len(b)
@@ -255,36 +283,33 @@ def asof_join_broadcast(
     ).drop_duplicates()
     winners_ref = ray.put(winners_df)
 
-    class _FetchWinners:
-        def __init__(self):
-            self.winners = ray.get(winners_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            frame = pd.DataFrame(
-                {
-                    key: batch[key].to_numpy(zero_copy_only=False),
-                    "__fts__": _ts_to_int(batch[feature_ts]),
-                    "__row__": np.arange(len(batch), dtype=np.int64),
-                }
-            )
-            frame["__tie__"] = (
-                _ts_to_int(batch[tie_col]) if tie_col else frame["__fts__"]
-            )
-            hit = frame.merge(self.winners, on=[key, "__fts__", "__tie__"], how="inner")
-            rows = pa.array(hit["__row__"].to_numpy())
-            out = batch.select([key] + payload_cols).take(rows)
-            out = out.append_column("__fts__", pa.array(hit["__fts__"].to_numpy()))
-            out = out.append_column("__tie__", pa.array(hit["__tie__"].to_numpy()))
-            return out
+    def fetch_winners(batch: pa.Table) -> pa.Table:
+        # stateless task; winners come from the per-worker broadcast cache
+        winners = _cached_broadcast(winners_ref)
+        frame = pd.DataFrame(
+            {
+                key: batch[key].to_numpy(zero_copy_only=False),
+                "__fts__": _ts_to_int(batch[feature_ts]),
+                "__row__": np.arange(len(batch), dtype=np.int64),
+            }
+        )
+        frame["__tie__"] = (
+            _ts_to_int(batch[tie_col]) if tie_col else frame["__fts__"]
+        )
+        hit = frame.merge(winners, on=[key, "__fts__", "__tie__"], how="inner")
+        rows = pa.array(hit["__row__"].to_numpy())
+        out = batch.select([key] + payload_cols).take(rows)
+        out = out.append_column("__fts__", pa.array(hit["__fts__"].to_numpy()))
+        out = out.append_column("__tie__", pa.array(hit["__tie__"].to_numpy()))
+        return out
 
     fetched_batches = [
         b
         for b in features.map_batches(
-            _FetchWinners,
+            fetch_winners,
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
-            concurrency=pool(concurrency),
         ).iter_batches(batch_size=None, batch_format="pyarrow")
         if len(b)
     ]
