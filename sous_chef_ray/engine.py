@@ -94,13 +94,27 @@ class Engine:
         metadata_rules: Dict,
         check_dirs: bool = True,
         log_level: str = "INFO",
+        native_dtypes: bool = False,
     ):
+        """``native_dtypes=True`` opts into the full Arrow dtype table
+        (schema.NATIVE_DTYPE_MAP: ARRAY_INT32 token columns, TIMESTAMP,
+        BINARY, ...) for YAML schemas — lifting the reference's
+        FLOAT/INT64-only declared universe and its arrays-as-STRING
+        collapse (SURVEY §1.3). Default False keeps reference-exact
+        behavior (unknown dtype → KeyError)."""
         logger.handlers = []
         handler = logging.StreamHandler()
         handler.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(handler)
         logger.setLevel(getattr(logging, log_level.upper()))
 
+        self.native_dtypes = native_dtypes
+        if native_dtypes:
+            from sous_chef_ray.schema import NATIVE_DTYPE_MAP
+
+            self.dtype_map = NATIVE_DTYPE_MAP
+        else:
+            self.dtype_map = self.DTYPE_MAP
         if not config:
             raise ValueError("feast_config is required")
         if not metadata_rules:
@@ -201,7 +215,8 @@ class Engine:
             entities = [self.get_entity(e) for e in spec["entities"]]
             schema = []
             for f in spec["schema"]:
-                fld = Field_(name=f["name"], dtype=self.DTYPE_MAP[f["dtype"]])
+                dtype_name = f["dtype"].upper() if self.native_dtypes else f["dtype"]
+                fld = Field_(name=f["name"], dtype=self.dtype_map[dtype_name])
                 if "tags" in f:
                     fld.tags = f["tags"]
                 schema.append(fld)

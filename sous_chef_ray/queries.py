@@ -644,6 +644,60 @@ def rolling_event_value(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+_TUMBLING_SQL = """
+SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY event_type, time_bucket(INTERVAL '6 hours', ts)
+"""
+
+
+@register("tumbling_6h_by_type", _TUMBLING_SQL)
+def tumbling_6h_by_type(sf_dir: str):
+    """Tumbling event-time windows (streaming-shaped workload on the
+    batch engine): epoch-aligned 6h windows per event_type
+    (stages/timewindow.tumbling_window_agg)."""
+    from sous_chef_ray.stages.timewindow import tumbling_window_agg
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"], "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    return tumbling_window_agg(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "ts", pd.Timedelta(hours=6), value_int_col="cents",
+    )
+
+
+_HOPPING_SQL = """
+WITH grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 18:00:00',
+                                TIMESTAMP '2024-02-01 00:00:00',
+                                INTERVAL 2 HOUR)) AS window_start)
+SELECT e.event_type, g.window_start, COUNT(*) AS n_events
+FROM events e JOIN grid g
+  ON g.window_start <= e.ts AND g.window_start > e.ts - INTERVAL 6 HOUR
+GROUP BY e.event_type, g.window_start
+"""
+
+
+@register("hopping_6h_2h_by_type", _HOPPING_SQL)
+def hopping_6h_2h_by_type(sf_dir: str):
+    """Hopping (overlapping) windows, size 6h hop 2h: each event is
+    exploded into its 3 windows, then a hash aggregate
+    (stages/timewindow.hopping_window_agg)."""
+    from sous_chef_ray.stages.timewindow import hopping_window_agg
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return hopping_window_agg(
+        ev, "event_type", "ts", pd.Timedelta(hours=6), pd.Timedelta(hours=2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-rule: gap-based sessionization
 # ---------------------------------------------------------------------------
