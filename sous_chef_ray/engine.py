@@ -298,7 +298,13 @@ class Engine:
             ts_field = view.source.params.get("timestamp_field", "event_timestamp")
             created = view.source.params.get("created_timestamp_column")
             value_cols = [f.name for f in view.schema]
-            ds = view.source.load()
+            need = [key, ts_field] + ([created] if created else []) + value_cols
+            # prune at the read: only join keys, timestamps and declared
+            # feature columns leave storage (SURVEY "prune at the read")
+            ds = view.source.load(columns=need)
+            slim = view.source.load(
+                columns=[key, ts_field] + ([created] if created else [])
+            )
             joined = asof_join_broadcast(
                 ds,
                 out,
@@ -309,6 +315,7 @@ class Engine:
                 payload_cols=value_cols,
                 ttl=pd.Timedelta(view.ttl),
                 concurrency=concurrency,
+                slim_features=slim,
             )
             # cast to the declared schema (B7)
             cols = {n: joined[n] for n in joined.column_names}

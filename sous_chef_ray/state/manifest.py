@@ -39,6 +39,7 @@ class PartitionRecord:
     status: str
     wall_sec: float
     finished_at: float
+    output_bytes: int = 0
 
 
 class Manifest:
@@ -136,6 +137,11 @@ def run_partitioned(
         out.write_parquet(tmp_path)
 
         out_tbl = pq.read_table(tmp_path)
+        out_bytes = sum(
+            os.path.getsize(os.path.join(tmp_path, f))
+            for f in os.listdir(tmp_path)
+            if f.endswith(".parquet")
+        )
         rec = PartitionRecord(
             partition_id=pid,
             input_fragments=list(frags),
@@ -145,6 +151,7 @@ def run_partitioned(
             status="done",
             wall_sec=round(time.time() - t0, 3),
             finished_at=time.time(),
+            output_bytes=out_bytes,
         )
         os.rename(tmp_path, final_path)
         manifest.append(rec)
