@@ -702,6 +702,36 @@ def hopping_6h_2h_by_type(sf_dir: str):
 # North-rule: gap-based sessionization
 # ---------------------------------------------------------------------------
 
+_RUNNING_SQL = """
+SELECT user_id, event_id, ts,
+       SUM(CAST(ROUND(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM events
+"""
+
+
+@register("running_event_value", _RUNNING_SQL)
+def running_event_value(sf_dir: str):
+    """Running cumulative sum per key (SUM OVER ROWS UNBOUNDED
+    PRECEDING) — exact integer cents (SURVEY §2.C10 family)."""
+    from sous_chef_ray.stages.window import with_running_sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return df.drop(columns=["value"])
+
+    out = with_running_sum(
+        ev.map_batches(cents, batch_format="pandas"),
+        "user_id", ["ts", "event_id"], "cents",
+        name="running_cents", num_buckets=16,
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "running_cents"])
+
+
 _SESSION_SQL = """
 SELECT user_id, event_id, ts,
        SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE

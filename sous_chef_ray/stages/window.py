@@ -155,6 +155,27 @@ def with_rolling_sum_count(
     return partition_apply(ds, keys, fn, num_buckets)
 
 
+def with_running_sum(
+    ds: "rd.Dataset",
+    partition_by: List[str] | str,
+    order_by: List[str] | str,
+    col: str,
+    name: str = "running_sum",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """SUM(col) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) — exact for integer-scaled columns."""
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sort(df, keys, order, False)
+        df[name] = df.groupby(keys, sort=False)[col].cumsum()
+        return df
+
+    return partition_apply(ds, keys, fn, num_buckets)
+
+
 def topk_per_group(
     ds: "rd.Dataset",
     partition_by: List[str] | str,
