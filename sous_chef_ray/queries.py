@@ -99,6 +99,30 @@ def asof_last_purchase(sf_dir: str) -> pa.Table:
 # C4/C5/C6: count distinct, exact quantile, array_agg
 # ---------------------------------------------------------------------------
 
+_EXTREMES_SQL = """
+SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("quantity_extremes", _EXTREMES_SQL)
+def quantity_extremes(sf_dir: str):
+    """MIN/MAX grouped aggregates (SURVEY §2.C3) — exact: extrema of
+    stored doubles are order-independent."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return (
+        li.groupby("l_returnflag")
+        .aggregate(
+            Min("l_quantity", alias_name="min_qty"),
+            Max("l_quantity", alias_name="max_qty"),
+            Min("l_extendedprice", alias_name="min_price"),
+            Max("l_extendedprice", alias_name="max_price"),
+        )
+    )
+
+
 _CNTD_SQL = """
 SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id
 """
