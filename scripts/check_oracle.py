@@ -62,6 +62,11 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
     g, e = norm(got), norm(exp)
     for c in g.columns:
         gv, ev = g[c], e[c]
+        # The driver hashes raw values: int64 2 vs float64 2.0 hash
+        # differently.  Treat a numeric-kind split as a failure instead of
+        # silently coercing (this masked 4 driver hash failures in round 1).
+        if {gv.dtype.kind, ev.dtype.kind} == {"i", "f"}:
+            return f"DTYPE mismatch in {c}: ray={gv.dtype} sql={ev.dtype}"
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
             gn = gv.astype(float).to_numpy()
             en = ev.astype(float).to_numpy()

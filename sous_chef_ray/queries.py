@@ -631,7 +631,7 @@ def event_first_last(sf_dir: str):
 
 _ROLLING_SQL = """
 SELECT user_id, event_id, ts,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS rolling_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS rolling_cents,
        SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
          / (100.0 * COUNT(*) OVER w) AS rolling_avg
 FROM events
@@ -671,7 +671,7 @@ def rolling_event_value(sf_dir: str):
 _TUMBLING_SQL = """
 SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS window_start,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type, time_bucket(INTERVAL '6 hours', ts)
 """
 
@@ -728,9 +728,9 @@ def hopping_6h_2h_by_type(sf_dir: str):
 
 _RUNNING_SQL = """
 SELECT user_id, event_id, ts,
-       SUM(CAST(ROUND(value * 100) AS BIGINT))
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS running_cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM events
 """
 
@@ -758,10 +758,10 @@ def running_event_value(sf_dir: str):
 
 _SESSION_SQL = """
 SELECT user_id, event_id, ts,
-       SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM (SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events)
