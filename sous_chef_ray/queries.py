@@ -907,18 +907,23 @@ def exact_dedup_docs(sf_dir: str):
 
 @register("minhash_neardup_pairs")  # not SQL-expressible → rows-only check
 def minhash_neardup_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidates verified by exact Jaccard ≥ 0.5
-    (shingle→minhash→band→bucket-groupby; SURVEY training-data ops)."""
-    from sous_chef_ray.stages.neardup import jaccard_verify, minhash_lsh_candidates
+    """MinHash+LSH near-dup candidates verified by exact Jaccard ≥ 0.5 —
+    verification is fully distributed (shingle sets of candidate docs
+    only are joined to the pairs; the corpus never hits the driver)."""
+    from sous_chef_ray.stages.neardup import (
+        jaccard_verify_distributed,
+        minhash_lsh_candidates,
+    )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_lsh_candidates(
         docs, "doc_id", "text", k=3, num_hashes=64, bands=16, concurrency=2
+    )
+    out = jaccard_verify_distributed(
+        cand, docs, "doc_id", "text", k=3, threshold=0.5, num_partitions=8,
+        concurrency=2,
     ).to_pandas()
-    docs_pd = pa.concat_tables(
-        docs.iter_batches(batch_size=None, batch_format="pyarrow")
-    ).to_pandas()
-    return jaccard_verify(cand, docs_pd, "doc_id", "text", k=3, threshold=0.5)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 @register("simhash_signatures")  # rows-only

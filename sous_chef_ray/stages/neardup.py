@@ -104,11 +104,18 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     concurrency: int | tuple = 4,
+    bucket_cap: int = 256,
 ) -> "rd.Dataset":
     """text → signatures → banded LSH buckets → candidate pairs.
 
     Returns a Dataset of (id_a, id_b) candidate pairs (id_a < id_b),
     deduped. Docs agreeing on all rows of any band land in one bucket.
+
+    A degenerate bucket (empty/boilerplate docs all hashing together)
+    would produce O(n²) pairs; buckets larger than ``bucket_cap`` emit a
+    CHAIN of consecutive-sorted-id pairs instead (O(n), preserves
+    connectivity for clustering) and log a warning — at 100 TB one bad
+    bucket must not explode the pair set.
     """
     rows_per_band = num_hashes // bands
     sigs = ds.map_batches(
@@ -143,10 +150,19 @@ def minhash_lsh_candidates(
     buckets = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
+        ids = np.unique(g[id_col].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        # all pairs within the bucket (buckets are tiny by construction)
+        if len(ids) > bucket_cap:
+            # Degenerate bucket: chain instead of all-pairs (O(n) pairs,
+            # same connected components for cluster assignment).
+            import logging
+
+            logging.getLogger("sous_chef_ray.neardup").warning(
+                "LSH bucket of size %d exceeds cap %d; emitting chain pairs",
+                len(ids), bucket_cap,
+            )
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
@@ -183,6 +199,95 @@ def jaccard_verify(
         if j >= threshold:
             keep.append((a, b, j))
     return pd.DataFrame(keep, columns=["id_a", "id_b", "jaccard"])
+
+
+def jaccard_verify_distributed(
+    cand: "rd.Dataset",
+    docs: "rd.Dataset",
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 32,
+    concurrency: int | tuple = 4,
+) -> "rd.Dataset":
+    """Exact word-k-gram Jaccard verification of LSH candidate pairs,
+    fully distributed — the corpus is NEVER materialized on the driver.
+
+    Plan (each step streams):
+      1. collect only the candidate *ids* (small — 2×|pairs| values);
+      2. broadcast-filter ``docs`` to those ids (``semi_join`` — the big
+         text column never leaves workers for non-candidates);
+      3. compute sorted-unique shingle-hash sets per doc in
+         ``map_batches`` (uint64-set-as-binary rows — Arrow's hash join
+         rejects list payload columns, so ship ``tobytes()`` blobs);
+      4. hash-join pairs→shingles on id_a, then on id_b;
+      5. vectorized Jaccard per batch via one concatenated
+         ``np.intersect1d`` per row pair.
+
+    Only shingle sets of candidate docs shuffle; at 100 TB that is
+    bounded by the candidate set, not the corpus.
+    """
+    from sous_chef_ray.stages.join import hash_join, semi_join
+
+    pair_tbl = pa.concat_tables(
+        cand.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if len(pair_tbl) == 0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pair_tbl.schema.field("id_a").type
+                                       if pair_tbl.num_columns else pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    import pyarrow.compute as pc
+
+    cand_ids = pc.unique(
+        pa.chunked_array([pair_tbl["id_a"].combine_chunks(),
+                          pair_tbl["id_b"].combine_chunks()]).combine_chunks()
+    )
+
+    def shingles(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        blobs = [
+            np.sort(_shingle_hashes(s if s else "", k)).astype(np.uint64).tobytes()
+            for s in texts
+        ]
+        return pa.table({id_col: t[id_col],
+                         "shingles": pa.array(blobs, type=pa.large_binary())})
+
+    sh = semi_join(docs, cand_ids, id_col, concurrency=concurrency).map_batches(
+        shingles, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    import ray
+
+    pairs_ds = ray.data.from_arrow(pair_tbl)
+    j1 = hash_join(pairs_ds, sh.rename_columns({id_col: "id_a", "shingles": "sh_a"}),
+                   on="id_a", num_partitions=num_partitions)
+    j2 = hash_join(j1, sh.rename_columns({id_col: "id_b", "shingles": "sh_b"}),
+                   on="id_b", num_partitions=num_partitions)
+
+    def jac(t: pa.Table) -> pa.Table:
+        sa = t["sh_a"].to_pylist()
+        sb = t["sh_b"].to_pylist()
+        n = len(t)
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a = np.frombuffer(sa[i] or b"", dtype=np.uint64)
+            b_ = np.frombuffer(sb[i] or b"", dtype=np.uint64)
+            if len(a) == 0 or len(b_) == 0:
+                out[i] = 0.0
+                continue
+            inter = len(np.intersect1d(a, b_, assume_unique=True))
+            out[i] = inter / (len(a) + len(b_) - inter)
+        res = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "jaccard": pa.array(out, type=pa.float64())})
+        return res.filter(pc.greater_equal(res["jaccard"], threshold))
+
+    return j2.map_batches(jac, batch_format="pyarrow")
 
 
 def connected_components(pairs: pd.DataFrame) -> dict:

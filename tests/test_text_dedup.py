@@ -72,6 +72,45 @@ def test_minhash_lsh_finds_planted_pairs():
     assert hits == len(planted & found)
 
 
+def test_distributed_verify_matches_driver_verify():
+    docs = _planted_docs()
+    from sous_chef_ray.stages.neardup import jaccard_verify_distributed
+
+    cand = minhash_lsh_candidates(
+        rd.from_pandas(docs), "doc_id", "text", k=3, num_hashes=64, bands=16,
+        concurrency=2,
+    )
+    dist = (
+        jaccard_verify_distributed(
+            cand, rd.from_pandas(docs), "doc_id", "text", k=3, threshold=0.5,
+            num_partitions=4, concurrency=2,
+        )
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    local = (
+        jaccard_verify(cand.to_pandas(), docs, "doc_id", "text", k=3, threshold=0.5)
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert list(dist["id_a"]) == list(local["id_a"])
+    assert list(dist["id_b"]) == list(local["id_b"])
+    assert np.allclose(dist["jaccard"], local["jaccard"])
+
+
+def test_degenerate_bucket_is_capped():
+    # 300 identical docs all land in every band's same bucket: all-pairs
+    # would be 300*299/2 = 44850 pairs; the cap must keep it O(n).
+    n = 300
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": ["same doc text here"] * n})
+    cand = minhash_lsh_candidates(
+        rd.from_pandas(df), "doc_id", "text", k=2, num_hashes=16, bands=4,
+        concurrency=2, bucket_cap=100,
+    ).to_pandas()
+    assert len(cand) == n - 1, len(cand)  # chain pairs, deduped across bands
+    comp = connected_components(cand)
+    roots = {comp.get(i, i) for i in range(n)}
+    assert len(roots) == 1  # connectivity preserved
+
+
 def test_minhash_estimates_jaccard():
     sig = MinHashSignatures(num_hashes=256)
     a = "the quick brown fox jumps over the lazy dog " * 5
