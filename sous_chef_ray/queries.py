@@ -38,6 +38,21 @@ def _read(sf_dir: str, table: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _buckets(sf_dir: str, table: str, min_buckets: int = 8) -> int:
+    """Size partition_apply bucket counts from the input's on-disk bytes
+    (≤ ~512 MB in-memory per bucket) instead of a fixed constant — a 10×
+    input gets ~10× buckets, so no whole-bucket OOM at scale."""
+    import os
+
+    from sous_chef_ray.stages.partition import auto_num_buckets
+
+    try:
+        sz = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        sz = None
+    return auto_num_buckets(sz, min_buckets=min_buckets)
+
+
 # ---------------------------------------------------------------------------
 # B2: point-in-time as-of join (flagship; broadcast-spine strategy)
 # ---------------------------------------------------------------------------
@@ -134,7 +149,7 @@ def distinct_event_types_per_user(sf_dir: str):
     from sous_chef_ray.stages.agg import count_distinct
 
     ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    return count_distinct(ev, "user_id", "event_type", name="n_distinct", num_buckets=16)
+    return count_distinct(ev, "user_id", "event_type", name="n_distinct", num_buckets=_buckets(sf_dir, "events"))
 
 
 _MEDIAN_SQL = """
@@ -168,7 +183,7 @@ def orders_array_per_customer(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
     return array_agg(orders, "o_custkey", "o_orderkey",
-                     order_by="o_orderkey", name="order_keys", num_buckets=16)
+                     order_by="o_orderkey", name="order_keys", num_buckets=_buckets(sf_dir, "orders"))
 
 
 _LISTAGG_SQL = """
@@ -490,7 +505,7 @@ def asof_last_purchase_partitioned(sf_dir: str):
     spine = ev.map_batches(to_spine, batch_format="pyarrow", zero_copy_batch=True)
     out = asof_join_partitioned(
         spine, feats, key="user_id", left_ts="ts", right_ts="fts",
-        payload_cols=["value"], ttl=pd.Timedelta(days=7), num_buckets=16,
+        payload_cols=["value"], ttl=pd.Timedelta(days=7), num_buckets=_buckets(sf_dir, "events"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -547,7 +562,7 @@ def top_orders_per_customer(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
     out = topk_per_group(
         orders, "o_custkey", ["o_totalprice", "o_orderkey"], k=3,
-        descending=[True, False], num_buckets=16,
+        descending=[True, False], num_buckets=_buckets(sf_dir, "orders"),
     )
     return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
 
@@ -569,10 +584,10 @@ def order_rank_per_customer(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
     out = with_row_number(
         orders, "o_custkey", ["o_totalprice", "o_orderkey"],
-        descending=[True, False], name="rn", num_buckets=16,
+        descending=[True, False], name="rn", num_buckets=_buckets(sf_dir, "orders"),
     )
     out = with_rank(out, "o_custkey", "o_totalprice", descending=True,
-                    name="rnk", num_buckets=16)
+                    name="rnk", num_buckets=_buckets(sf_dir, "orders"))
     return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk"])
 
 
@@ -597,7 +612,7 @@ def event_lag_lead(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
     out = with_lag_lead(
         ev, "user_id", ["ts", "event_id"], "value",
-        lag_name="prev_value", lead_name="next_value", num_buckets=16,
+        lag_name="prev_value", lead_name="next_value", num_buckets=_buckets(sf_dir, "events"),
     )
     return out.select_columns(["user_id", "event_id", "ts", "value", "prev_value", "next_value"])
 
@@ -620,7 +635,7 @@ def event_first_last(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
     out = with_first_last(
         ev, "user_id", ["ts", "event_id"], "value",
-        first_name="first_value_seen", last_name="last_value_seen", num_buckets=16,
+        first_name="first_value_seen", last_name="last_value_seen", num_buckets=_buckets(sf_dir, "events"),
     )
     return out.select_columns(["user_id", "event_id", "ts", "first_value_seen", "last_value_seen"])
 
@@ -656,7 +671,7 @@ def rolling_event_value(sf_dir: str):
     out = with_rolling_sum_count(
         ev.map_batches(cents, batch_format="pandas"),
         "user_id", ["ts", "event_id"], "cents", window=30,
-        sum_name="rolling_cents", cnt_name="rolling_cnt", num_buckets=16,
+        sum_name="rolling_cents", cnt_name="rolling_cnt", num_buckets=_buckets(sf_dir, "events"),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -751,7 +766,7 @@ def running_event_value(sf_dir: str):
     out = with_running_sum(
         ev.map_batches(cents, batch_format="pandas"),
         "user_id", ["ts", "event_id"], "cents",
-        name="running_cents", num_buckets=16,
+        name="running_cents", num_buckets=_buckets(sf_dir, "events"),
     )
     return out.select_columns(["user_id", "event_id", "ts", "running_cents"])
 
@@ -776,7 +791,7 @@ def sessionize_events(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     out = sessionize(
         ev, "user_id", "ts", gap=pd.Timedelta(minutes=30),
-        tie_by="event_id", num_buckets=16,
+        tie_by="event_id", num_buckets=_buckets(sf_dir, "events"),
     )
     return out.select_columns(["user_id", "event_id", "ts", "session_id"])
 
@@ -828,6 +843,63 @@ def backfill_daily_purchase(sf_dir: str):
         {"user_id": out["user_id"], "grid_ts": out["grid_ts"],
          "filled_value": out["value"]}
     )
+
+
+# ---------------------------------------------------------------------------
+# North-rule: the flagship's FUSED window op (lag/lead + session in one
+# shuffle, pipelines.materialize.window_features) verified end-to-end.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_WINDOW_SQL = r"""
+WITH tok AS (
+  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+         source,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS event_ts
+  FROM documents),
+lagd AS (
+  SELECT doc_id, source, event_ts, n_tok,
+         lag(n_tok) OVER w AS n_tok_lag1,
+         lead(n_tok) OVER w AS n_tok_lead1,
+         lag(event_ts) OVER w AS prev_ts
+  FROM tok WINDOW w AS (PARTITION BY source ORDER BY event_ts, doc_id))
+SELECT doc_id, source, event_ts, n_tok, n_tok_lag1, n_tok_lead1,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR event_ts - prev_ts > INTERVAL 15 SECOND
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY source ORDER BY event_ts, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM lagd
+"""
+
+
+@register("flagship_window_features", _FLAGSHIP_WINDOW_SQL)
+def flagship_window_features(sf_dir: str):
+    """The flagship's fused Arrow window kernel (tokenize → lag/lead n_tok
+    + gap sessions per source, ONE shuffle) against a DuckDB
+    lag()/lead()/SUM(CASE) oracle. Keyed by ``source`` so partitions are
+    non-degenerate at testdata shape (doc_id is unique per row there)."""
+    from sous_chef_ray.pipelines.materialize import tokenize_documents, window_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    out = window_features(
+        tokenize_documents(docs),
+        key="source", ts_col="event_ts", tie_col="created_ts",
+        value_col="n_tok", session_gap=pd.Timedelta(seconds=15),
+        num_buckets=_buckets(sf_dir, "documents"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "event_ts": t["event_ts"],
+            "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            "n_tok_lag1": pc.cast(t["n_tok_lag1"], pa.int64()),
+            "n_tok_lead1": pc.cast(t["n_tok_lead1"], pa.int64()),
+            "session_id": t["session_id"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

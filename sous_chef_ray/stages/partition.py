@@ -25,6 +25,34 @@ import ray.data as rd
 
 BUCKET_COL = "__bucket__"
 
+# Target in-memory bytes per bucket: a whole bucket becomes ONE block /
+# one map_batches call, so it must fit in a worker heap with headroom.
+TARGET_BUCKET_BYTES = 512 << 20
+
+
+def auto_num_buckets(
+    input_bytes: int | None,
+    *,
+    target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+    min_buckets: int = 8,
+    max_buckets: int = 1 << 20,
+    expansion: float = 4.0,
+) -> int:
+    """Derive a bucket count from input size so each bucket stays under
+    ``target_bucket_bytes`` IN MEMORY (``expansion`` ≈ parquet→Arrow blowup).
+
+    Buckets scale linearly with data: a 10× input gets ~10× buckets, so
+    the one-block-per-bucket plan in :func:`partition_apply` never asks a
+    worker to hold more than ~512 MB regardless of total scale. A fixed
+    constant (the round-1 ``num_buckets=16``) breaks at 100×.
+    """
+    import math
+
+    if not input_bytes:
+        return 64
+    eff = input_bytes * expansion
+    return max(min_buckets, min(max_buckets, math.ceil(eff / target_bucket_bytes)))
+
 
 def add_bucket(df: pd.DataFrame, keys: List[str], num_buckets: int) -> pd.DataFrame:
     h = pd.util.hash_pandas_object(

@@ -113,3 +113,15 @@ def test_strip_salt():
     df = pd.DataFrame({"k": ["x"], "k__salted": ["x\x001"]})
     out = strip_salt(rd.from_pandas(df), "k__salted").to_pandas()
     assert list(out.columns) == ["k"]
+
+
+def test_auto_num_buckets_scales_linearly():
+    from sous_chef_ray.stages.partition import auto_num_buckets
+
+    gib = 1 << 30
+    b1 = auto_num_buckets(10 * gib)     # above the min floor
+    b10 = auto_num_buckets(100 * gib)
+    assert b10 >= 10 * b1 * 0.99        # 10x input -> ~10x buckets
+    assert auto_num_buckets(None) == 64  # unknown size fallback
+    assert auto_num_buckets(1) == 8      # floor
+    assert auto_num_buckets(1 << 60) == 1 << 20  # ceiling
