@@ -4,31 +4,68 @@ The reference recognizes RANK / ROW_NUMBER / LAG / LEAD / FIRST_VALUE /
 LAST_VALUE / moving aggregates for warehouse pushdown (reference:
 src/sous_chef/validators.py:15-16, tests/test_teradata_sources.py:58-69);
 here they are native Ray Data operators: hash-bucket partition by key →
-per-bucket vectorized pandas groupby transforms (one Python call per
-bucket; C-speed within). Ordering inside a key is (order_by, tie_by...)
-ascending unless stated.
+per-bucket ARROW kernels (``pc.sort_indices`` + numpy boundary masks +
+zero-copy ``take``). One sort per bucket, no pandas conversion — list /
+timestamp / string payload columns never leave Arrow. Ordering inside a
+key is (order_by, tie_by...) ascending unless stated.
+
+Group machinery: after the bucket-local sort, ``key_change[i]`` marks the
+first row of each key run and ``group_start[i]`` is the row index where
+row *i*'s key run begins (a ``np.maximum.accumulate`` over marked
+indices). Every operator below is O(n) numpy arithmetic over those two
+arrays — the same kernel shape as the fused flagship op
+(pipelines/materialize.window_features), measured ~2× the pandas
+groupby-transform path it replaces.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
 from sous_chef_ray.stages.partition import partition_apply
 
 
-def _sort(df: pd.DataFrame, keys: List[str], order: List[str], desc) -> pd.DataFrame:
+def _as_list(x) -> List[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _sort_keys(keys: List[str], order: List[str], desc) -> list:
     if isinstance(desc, bool):
         desc = [desc] * len(order)
-    return df.sort_values(
-        keys + order,
-        ascending=[True] * len(keys) + [not d for d in desc],
-        kind="mergesort",
-    )
+    return [(k, "ascending") for k in keys] + [
+        (o, "descending" if d else "ascending") for o, d in zip(order, desc)
+    ]
+
+
+def _sorted_with_bounds(
+    t: pa.Table, keys: List[str], order: List[str], desc
+) -> Tuple[pa.Table, np.ndarray, np.ndarray, np.ndarray]:
+    """Sort a bucket by (keys, order) and return
+    (sorted_table, key_change_mask, group_start_index, arange)."""
+    idx = pc.sort_indices(t, sort_keys=_sort_keys(keys, order, desc))
+    t = t.take(idx)
+    n = len(t)
+    arange = np.arange(n, dtype=np.int64)
+    key_change = np.zeros(n, dtype=bool)
+    if n:
+        key_change[0] = True
+        for k in keys:
+            kv = t[k].to_numpy(zero_copy_only=False)
+            key_change[1:] |= kv[1:] != kv[:-1]
+    group_start = np.maximum.accumulate(np.where(key_change, arange, 0))
+    return t, key_change, group_start, arange
+
+
+def _take_with_validity(col: pa.ChunkedArray, idx: np.ndarray, valid: np.ndarray):
+    """col.take(idx) with nulls where ``valid`` is False (any dtype)."""
+    safe = np.where(valid, idx, 0)
+    return col.take(pa.array(safe, type=pa.int64(), mask=~valid))
 
 
 def with_row_number(
@@ -39,15 +76,13 @@ def with_row_number(
     name: str = "rn",
     num_buckets: int = 64,
 ) -> "rd.Dataset":
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sort(df, keys, order, descending)
-        df[name] = df.groupby(keys, sort=False).cumcount() + 1
-        return df
+    def fn(t: pa.Table) -> pa.Table:
+        t, _, group_start, arange = _sorted_with_bounds(t, keys, order, descending)
+        return t.append_column(name, pa.array(arange - group_start + 1))
 
-    return partition_apply(ds, keys, fn, num_buckets)
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
 def with_rank(
@@ -60,18 +95,27 @@ def with_rank(
     num_buckets: int = 64,
 ) -> "rd.Dataset":
     """SQL RANK() / DENSE_RANK() semantics (ties share a rank)."""
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    keys = _as_list(partition_by)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[name] = (
-            df.groupby(keys, sort=False)[order_by]
-            .rank(method="dense" if dense else "min", ascending=not descending)
-            .astype(np.int64)
+    def fn(t: pa.Table) -> pa.Table:
+        t, key_change, group_start, arange = _sorted_with_bounds(
+            t, keys, [order_by], descending
         )
-        return df
+        n = len(t)
+        ov = t[order_by].to_numpy(zero_copy_only=False)
+        value_change = key_change.copy()
+        if n:
+            value_change[1:] |= ov[1:] != ov[:-1]
+        if dense:
+            vc_cum = np.cumsum(value_change)
+            base = np.maximum.accumulate(np.where(key_change, vc_cum, 0))
+            rank = vc_cum - base + 1
+        else:
+            first_tie = np.maximum.accumulate(np.where(value_change, arange, 0))
+            rank = first_tie - group_start + 1
+        return t.append_column(name, pa.array(rank.astype(np.int64)))
 
-    return partition_apply(ds, keys, fn, num_buckets)
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
 def with_lag_lead(
@@ -85,22 +129,30 @@ def with_lag_lead(
     lead_name: Optional[str] = None,
     num_buckets: int = 64,
 ) -> "rd.Dataset":
-    """LAG/LEAD of ``col`` within each key, ordered by ``order_by``."""
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    """LAG/LEAD of ``col`` within each key, ordered by ``order_by``.
+    Arrow ``take`` with masked indices — works for any column dtype."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
     lag_name = lag_name or f"{col}_lag{lag}"
     lead_name = lead_name or f"{col}_lead{lead}"
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sort(df, keys, order, False)
-        g = df.groupby(keys, sort=False)[col]
+    def fn(t: pa.Table) -> pa.Table:
+        t, key_change, group_start, arange = _sorted_with_bounds(t, keys, order, False)
+        n = len(t)
+        key_end = np.zeros(n, dtype=bool)
+        if n:
+            key_end[-1] = True
+            key_end[:-1] = key_change[1:]
+        group_end = np.minimum.accumulate(np.where(key_end, arange, n)[::-1])[::-1]
+        c = t[col].combine_chunks()
         if lag:
-            df[lag_name] = g.shift(lag)
+            li = arange - lag
+            t = t.append_column(lag_name, _take_with_validity(c, li, li >= group_start))
         if lead:
-            df[lead_name] = g.shift(-lead)
-        return df
+            li = arange + lead
+            t = t.append_column(lead_name, _take_with_validity(c, li, li <= group_end))
+        return t
 
-    return partition_apply(ds, keys, fn, num_buckets)
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
 def with_first_last(
@@ -113,19 +165,24 @@ def with_first_last(
     num_buckets: int = 64,
 ) -> "rd.Dataset":
     """FIRST_VALUE / LAST_VALUE over the whole key partition."""
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    keys, order = _as_list(partition_by), _as_list(order_by)
     first_name = first_name or f"{col}_first"
     last_name = last_name or f"{col}_last"
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sort(df, keys, order, False)
-        g = df.groupby(keys, sort=False)[col]
-        df[first_name] = g.transform("first")
-        df[last_name] = g.transform("last")
-        return df
+    def fn(t: pa.Table) -> pa.Table:
+        t, key_change, group_start, arange = _sorted_with_bounds(t, keys, order, False)
+        n = len(t)
+        key_end = np.zeros(n, dtype=bool)
+        if n:
+            key_end[-1] = True
+            key_end[:-1] = key_change[1:]
+        group_end = np.minimum.accumulate(np.where(key_end, arange, n)[::-1])[::-1]
+        c = t[col].combine_chunks()
+        t = t.append_column(first_name, c.take(pa.array(group_start)))
+        t = t.append_column(last_name, c.take(pa.array(group_end)))
+        return t
 
-    return partition_apply(ds, keys, fn, num_buckets)
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
 def with_rolling_sum_count(
@@ -139,20 +196,23 @@ def with_rolling_sum_count(
     num_buckets: int = 64,
 ) -> "rd.Dataset":
     """Moving-window ROWS BETWEEN (window-1) PRECEDING AND CURRENT ROW:
-    exact rolling sum + count of ``col``. Pass an integer-scaled column
-    for exact float semantics (see queries.py determinism note)."""
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    exact rolling sum + count of ``col`` via prefix sums
+    (sum[i] = cs[i] - cs[win_start-1], O(n) per bucket). Pass an
+    integer-scaled column for exact float semantics (see queries.py
+    determinism note)."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sort(df, keys, order, False)
-        g = df.groupby(keys, sort=False)[col]
-        roll = g.rolling(window, min_periods=1)
-        df[sum_name] = roll.sum().to_numpy()
-        df[cnt_name] = roll.count().to_numpy().astype(np.int64)
-        return df
+    def fn(t: pa.Table) -> pa.Table:
+        t, _, group_start, arange = _sorted_with_bounds(t, keys, order, False)
+        v = t[col].to_numpy(zero_copy_only=False)
+        cs = np.cumsum(v)
+        win_start = np.maximum(group_start, arange - window + 1)
+        left = np.where(win_start > 0, cs[win_start - 1], 0)
+        t = t.append_column(sum_name, pa.array(cs - left))
+        t = t.append_column(cnt_name, pa.array((arange - win_start + 1).astype(np.int64)))
+        return t
 
-    return partition_apply(ds, keys, fn, num_buckets)
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
 def with_running_sum(
@@ -165,15 +225,16 @@ def with_running_sum(
 ) -> "rd.Dataset":
     """SUM(col) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
     PRECEDING) — exact for integer-scaled columns."""
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sort(df, keys, order, False)
-        df[name] = df.groupby(keys, sort=False)[col].cumsum()
-        return df
+    def fn(t: pa.Table) -> pa.Table:
+        t, _, group_start, _ = _sorted_with_bounds(t, keys, order, False)
+        v = t[col].to_numpy(zero_copy_only=False)
+        cs = np.cumsum(v)
+        left = np.where(group_start > 0, cs[group_start - 1], 0)
+        return t.append_column(name, pa.array(cs - left))
 
-    return partition_apply(ds, keys, fn, num_buckets)
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
 def topk_per_group(
@@ -185,12 +246,12 @@ def topk_per_group(
     num_buckets: int = 64,
 ) -> "rd.Dataset":
     """QUALIFY ROW_NUMBER() OVER (...) <= k (SURVEY §2.C11). Per-bucket
-    head(k) after sort — only k rows per key survive the bucket stage."""
-    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    mask filter after sort — only k rows per key survive the bucket
+    stage, so downstream operators see k×n_keys rows, not the input."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sort(df, keys, order, descending)
-        return df.groupby(keys, sort=False).head(k)
+    def fn(t: pa.Table) -> pa.Table:
+        t, _, group_start, arange = _sorted_with_bounds(t, keys, order, descending)
+        return t.filter(pa.array(arange - group_start < k))
 
-    return partition_apply(ds, keys, fn, num_buckets)
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
