@@ -12,11 +12,12 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List
 
-# per-type allowed constructor params (reference: sous_chef.py:40-45)
+# per-type allowed constructor params — EXACTLY the reference's lists
+# (reference: sous_chef.py:40-45); anything else is stripped on register.
 SOURCE_PARAMS: Dict[str, List[str]] = {
     "file": ["path", "timestamp_field", "created_timestamp_column", "field_mapping"],
-    "spark": ["table", "query", "path", "file_format", "timestamp_field", "field_mapping"],
-    "kafka": ["bootstrap_servers", "topic", "timestamp_field", "message_format", "batch_source"],
+    "spark": ["path", "timestamp_field", "table", "query", "field_mapping"],
+    "kafka": ["bootstrap_servers", "topic", "timestamp_field", "message_format"],
     "redis": ["connection_string", "key_ttl"],
 }
 
@@ -40,11 +41,59 @@ def _read_file(path: str, columns=None, field_mapping: Dict[str, str] | None = N
     return ds
 
 
+def _read_spark(path: str | None = None, table: str | None = None,
+                query: str | None = None,
+                field_mapping: Dict[str, str] | None = None, **_: Any):
+    """Spark source (reference: SOURCE_TYPE_MAP 'spark' → SparkSource,
+    sous_chef.py:34). Spark tables materialize as parquet directories, so
+    a ``path`` reads directly; ``table``/``query`` declare a warehouse
+    surface this engine has no connector for — declared, not silently
+    dropped."""
+    if path:
+        return _read_file(path, field_mapping=field_mapping)
+    raise NotImplementedError(
+        "spark source without a parquet 'path' needs a live warehouse "
+        f"connection (table={table!r}, query={query!r}); none in this "
+        "environment — map the table to its parquet location instead"
+    )
+
+
+class StreamingSourceSpec:
+    """Declared-but-not-executed source (kafka/redis): the batch engine
+    registers and validates the config exactly like the reference (which
+    also only constructs config objects, never consumes the stream —
+    reference: sous_chef.py:35-36,43-44), and surfaces it in the registry
+    manifest for an online/streaming runtime to pick up."""
+
+    def __init__(self, source_type: str, **params: Any):
+        self.source_type = source_type
+        self.params = params
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"StreamingSourceSpec({self.source_type}, {self.params})"
+
+
+def _kafka_source(**params: Any) -> StreamingSourceSpec:
+    return StreamingSourceSpec("kafka", **params)
+
+
+def _redis_source(**params: Any) -> StreamingSourceSpec:
+    return StreamingSourceSpec("redis", **params)
+
+
 class SourceRegistry:
-    """type name → reader factory, with lazy registration and caching."""
+    """type name → reader factory, with lazy registration and caching.
+
+    All four reference source types register (reference SOURCE_TYPE_MAP,
+    sous_chef.py:32-37, pinned by tests/test_sous_chef.py:128-133)."""
 
     _sources: Dict[str, Callable] = {}
-    _builtin: Dict[str, Callable] = {"file": _read_file}
+    _builtin: Dict[str, Callable] = {
+        "file": _read_file,
+        "spark": _read_spark,
+        "kafka": _kafka_source,
+        "redis": _redis_source,
+    }
 
     @classmethod
     def get_source(cls, source_type: str) -> Callable:

@@ -37,3 +37,53 @@ def test_filter_source_config_whitelist():
     assert set(out) == {"path", "timestamp_field", "created_timestamp_column"}
     # unknown type passes config through untouched (reference behavior)
     assert filter_source_config("mystery", cfg) == cfg
+
+
+@pytest.mark.parametrize("source_type", ["file", "spark", "kafka", "redis"])
+def test_supported_sources(source_type):
+    """All four reference source types resolve (reference:
+    tests/test_sous_chef.py:127-133 over SOURCE_TYPE_MAP/SOURCE_PARAMS)."""
+    from sous_chef_ray.sources.registry import SOURCE_PARAMS
+
+    assert SourceRegistry.get_source(source_type) is not None
+    assert source_type in SOURCE_PARAMS
+
+
+def test_source_params_match_reference_exactly():
+    """Pinned to reference sous_chef.py:40-45 (no drift: no file_format,
+    no batch_source)."""
+    from sous_chef_ray.sources.registry import SOURCE_PARAMS
+
+    assert SOURCE_PARAMS == {
+        "file": ["path", "timestamp_field", "created_timestamp_column", "field_mapping"],
+        "spark": ["path", "timestamp_field", "table", "query", "field_mapping"],
+        "kafka": ["bootstrap_servers", "topic", "timestamp_field", "message_format"],
+        "redis": ["connection_string", "key_ttl"],
+    }
+
+
+def test_spark_source_reads_parquet_path(tmp_path):
+    import pandas as pd
+    import ray.data as rd  # noqa: F401  (ray session from conftest)
+
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_parquet(p)
+    ds = SourceRegistry.get_source("spark")(path=str(p), field_mapping={"a": "a2"})
+    out = ds.to_pandas()
+    assert sorted(out.columns) == ["a2", "b"]
+    assert len(out) == 2
+
+
+def test_spark_source_without_path_declares_not_wired():
+    with pytest.raises(NotImplementedError, match="parquet 'path'"):
+        SourceRegistry.get_source("spark")(table="db.events")
+
+
+def test_streaming_sources_return_spec_objects():
+    k = SourceRegistry.get_source("kafka")(
+        bootstrap_servers="b:9092", topic="t", timestamp_field="ts",
+        message_format="json",
+    )
+    assert k.source_type == "kafka" and k.params["topic"] == "t"
+    r = SourceRegistry.get_source("redis")(connection_string="redis://x", key_ttl=60)
+    assert r.source_type == "redis" and r.params["key_ttl"] == 60
