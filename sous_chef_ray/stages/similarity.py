@@ -150,8 +150,9 @@ def knn_lsh_bucketed(
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in queries[qemb_col].to_pylist()])
     qcodes = tagger.bucket(qm)  # (nq, tables)
     qids = queries[qid_col].to_numpy(zero_copy_only=False)
-    # query bucket lookup sets per table
-    wanted = [set(qcodes[:, t].tolist()) for t in range(num_tables)]
+    # query bucket lookup: sorted unique code array per table (np.isin
+    # binary-searches these — vectorized, no per-row Python membership)
+    wanted = [np.unique(qcodes[:, t]) for t in range(num_tables)]
     wanted_ref = ray.put(wanted)
 
     class Filter:
@@ -164,8 +165,7 @@ def knn_lsh_bucketed(
             codes = self.tag.bucket(m)
             keep = np.zeros(len(t), dtype=bool)
             for tab in range(codes.shape[1]):
-                w = self.wanted[tab]
-                keep |= np.fromiter((c in w for c in codes[:, tab]), bool, len(t))
+                keep |= np.isin(codes[:, tab], self.wanted[tab])
             return t.filter(pa.array(keep))
 
     filtered = corpus.map_batches(

@@ -146,3 +146,44 @@ def test_knn_vs_numpy_oracle():
         order = np.lexsort((np.arange(200), -sims[qi]))[:3]
         got = out[out["qid"] == qi]["neighbor_id"].tolist()
         assert got == order.tolist(), (qi, got, order)
+
+
+def test_simhash_batch_matches_scalar():
+    """The batch-vectorized SimHash kernel must equal one() bit-for-bit."""
+    from sous_chef_ray.stages.neardup import SimHash
+
+    sh = SimHash()
+    texts = [
+        "the quick brown fox", "", "   ", "single",
+        "a b c d e f g " * 20, None, "unicode ünïcödé wörds",
+    ]
+    got = sh._batch(texts)
+    exp = [sh.one(t if isinstance(t, str) else "") for t in texts]
+    assert [int(v) for v in got] == exp
+
+
+def test_rolling_fingerprint_vectorized_golden():
+    """Vectorized Rabin-Karp must equal the scalar recurrence definition."""
+    from sous_chef_ray.stages.text import ROLL_BASE, _U64, rolling_fingerprint_one
+
+    def scalar(s, window=16):
+        b = s.encode("utf-8")
+        if len(b) < window:
+            h = 0
+            for x in b:
+                h = (h * ROLL_BASE + x) & _U64
+            return h
+        cur = 0
+        for x in b[:window]:
+            cur = (cur * ROLL_BASE + x) & _U64
+        best = cur
+        bw = pow(ROLL_BASE, window - 1, 1 << 64)
+        for i in range(1, len(b) - window + 1):
+            cur = ((cur - b[i - 1] * bw) * ROLL_BASE + b[i + window - 1]) & _U64
+            best = min(best, cur)
+        return best
+
+    rng = np.random.default_rng(11)
+    for s in ["", "short", "exactly16bytes!!", "a" * 100,
+              "".join(chr(rng.integers(32, 1000)) for _ in range(300))]:
+        assert rolling_fingerprint_one(s) == scalar(s), repr(s[:20])
