@@ -225,19 +225,15 @@ SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
 
 @register("region_nation_cross", _CROSS_SQL)
 def region_nation_cross(sf_dir: str):
-    """CROSS JOIN via broadcast (SURVEY §2.C12): the small side is sent
-    once and merged per batch with how='cross'."""
+    """CROSS JOIN via broadcast (SURVEY §2.C12): the small side is
+    ray.put ONCE and read once per actor — no per-batch re-conversion."""
     import pyarrow.parquet as pq
 
     from sous_chef_ray.stages.join import broadcast_join
 
     region = _read(sf_dir, "region", columns=["r_name"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_name"])
-
-    def cross(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(nation.to_pandas(), how="cross")
-
-    return region.map_batches(cross, batch_format="pandas")
+    return broadcast_join(region, nation, on=None, how="cross", concurrency=2)
 
 
 @register("approx_distinct_users")  # sketch → rows-only (tolerance, not equality)
@@ -316,16 +312,19 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
 
 @register("customers_with_big_orders", _SEMI_SQL)
 def customers_with_big_orders(sf_dir: str):
-    """Semi join via broadcast key-set filter — no shuffle (SURVEY §4)."""
-    from sous_chef_ray.stages.join import semi_join
+    """Semi join: the filter keys are reduced DISTRIBUTEDLY (per-batch
+    unique → Dataset.unique) before the small distinct set broadcasts —
+    the big side never streams through the driver (SURVEY §4)."""
+    from sous_chef_ray.stages.join import distinct_key_array, semi_join
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    keys_tbl = pa.concat_tables(
-        b.filter(pc.greater(b["o_totalprice"], 200000.0)).select(["o_custkey"])
-        for b in orders.iter_batches(batch_size=None, batch_format="pyarrow")
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
-    return semi_join(cust, keys_tbl, "c_custkey", concurrency=2)
+    return semi_join(cust, distinct_key_array(big, "o_custkey"), "c_custkey",
+                     concurrency=2)
 
 
 _ANTI_SQL = """
@@ -336,16 +335,17 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 
 @register("customers_without_big_orders", _ANTI_SQL)
 def customers_without_big_orders(sf_dir: str):
-    """Anti join via broadcast key-set filter."""
-    from sous_chef_ray.stages.join import anti_join
+    """Anti join via distributed distinct reduction + broadcast filter."""
+    from sous_chef_ray.stages.join import anti_join, distinct_key_array
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    keys_tbl = pa.concat_tables(
-        b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(["o_custkey"])
-        for b in orders.iter_batches(batch_size=None, batch_format="pyarrow")
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
-    return anti_join(cust, keys_tbl, "c_custkey", concurrency=2)
+    return anti_join(cust, distinct_key_array(big, "o_custkey"), "c_custkey",
+                     concurrency=2)
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,8 @@ class _BroadcastMerge:
         self.suffix = suffix
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.how == "cross":
+            return batch.merge(self.dim, how="cross", suffixes=("", self.suffix))
         return batch.merge(
             self.dim,
             how=self.how,
@@ -76,10 +78,11 @@ def broadcast_join(
     """Join a streaming big side against a broadcast in-memory dim table."""
     if isinstance(dim, pa.Table):
         dim = dim.to_pandas()
-    on = [on] if isinstance(on, str) else list(on)
-    right_on = (
-        [right_on] if isinstance(right_on, str) else list(right_on or on)
-    )
+    if how != "cross":
+        on = [on] if isinstance(on, str) else list(on)
+        right_on = (
+            [right_on] if isinstance(right_on, str) else list(right_on or on)
+        )
     dim_ref = ray.put(dim)
     return big.map_batches(
         _BroadcastMerge,
@@ -119,6 +122,21 @@ def _key_set_join(big, keys, col, keep, concurrency):
         zero_copy_batch=True,
         concurrency=pool(concurrency),
     )
+
+
+def distinct_key_array(ds: "rd.Dataset", col: str) -> pa.Array:
+    """Distributed distinct reduction of a key column: per-batch
+    ``pc.unique`` inside map_batches shrinks each block to its distinct
+    keys BEFORE the shuffle, then ``Dataset.unique`` finishes the
+    reduction — only the (small) distinct set ever reaches the driver.
+    This is the scale-correct way to build a semi/anti broadcast set
+    from a big side (never ``iter_batches`` the raw table)."""
+
+    def u(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t[col])})
+
+    slim = ds.map_batches(u, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.array(slim.unique(col))
 
 
 def semi_join(big: "rd.Dataset", keys, col: str, concurrency: int | tuple = 4):
