@@ -366,6 +366,101 @@ def _key_hash(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _merge_asof_bucket(
+    lb: pa.Table,
+    rb: pa.Table,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tie_col: Optional[str],
+    payload_cols: List[str],
+    ttl_us: Optional[int],
+    left_cols: List[str],
+    left_types: dict,
+    payload_types: dict,
+    expected_bucket: Optional[int] = None,
+) -> pa.Table:
+    """Sorted as-of merge of one co-partitioned bucket: only the
+    (key, ts, row#) index frames go through pandas merge_asof; payloads
+    move by zero-copy Arrow take (list/token columns never hit pandas).
+
+    Empty sort partitions arrive as ZERO-COLUMN tables (Ray's range sort
+    emits schemaless empty blocks), so output schemas come from the
+    passed type maps, never from the blocks."""
+    extra = [c for c in payload_cols if c not in left_cols]
+    if len(lb) == 0:
+        return pa.table(
+            {c: pa.nulls(0, type=left_types[c]) for c in left_cols}
+            | {c: pa.nulls(0, type=payload_types[c]) for c in extra}
+        )
+    if expected_bucket is not None and "__bucket__" in lb.column_names:
+        b0 = lb["__bucket__"][0].as_py()
+        if b0 != expected_bucket:
+            raise RuntimeError(
+                f"bucket misalignment: left block {b0} != {expected_bucket}"
+            )
+    if expected_bucket is not None and len(rb) and "__bucket__" in rb.column_names:
+        b0 = rb["__bucket__"][0].as_py()
+        if b0 != expected_bucket:
+            raise RuntimeError(
+                f"bucket misalignment: right block {b0} != {expected_bucket}"
+            )
+    n = len(lb)
+    if len(rb) == 0:
+        out = lb.select(left_cols)
+        for c in extra:
+            out = out.append_column(c, pa.nulls(n, type=payload_types[c]))
+        return out
+    ldf = pd.DataFrame(
+        {
+            key: lb[key].to_numpy(zero_copy_only=False),
+            "__ts__": _ts_to_int(lb[left_ts]),
+            "__l__": np.arange(n, dtype=np.int64),
+        }
+    ).sort_values("__ts__", kind="mergesort")
+    rdf = pd.DataFrame(
+        {
+            key: rb[key].to_numpy(zero_copy_only=False),
+            "__ts__": _ts_to_int(rb[right_ts]),
+            "__r__": np.arange(len(rb), dtype=np.int64),
+        }
+    )
+    if tie_col is not None:
+        # latest-created wins ties: stable sort by tie then ts keeps the
+        # max-tie row last per ts; merge_asof backward picks the last
+        rdf["__tie__"] = _ts_to_int(rb[tie_col])
+        rdf = rdf.sort_values("__tie__", kind="mergesort")
+    rdf = rdf.sort_values("__ts__", kind="mergesort")
+    merged = pd.merge_asof(
+        ldf,
+        rdf[[key, "__ts__", "__r__"]],
+        on="__ts__",
+        by=key,
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=ttl_us,
+    )
+    rpos = merged["__r__"].to_numpy()
+    order = merged["__l__"].to_numpy().astype(np.int64)
+    out = lb.select(left_cols).take(pa.array(order))
+    miss = np.isnan(rpos) if rpos.dtype.kind == "f" else np.zeros(len(rpos), bool)
+    safe = np.where(miss, 0, rpos).astype(np.int64)
+    # null-masked index array: take() emits nulls at null indices
+    ridx_arr = pa.array(safe, type=pa.int64(), mask=miss)
+    for c in extra:
+        out = out.append_column(c, rb[c].combine_chunks().take(ridx_arr))
+    return out
+
+
+@ray.remote
+def _merge_asof_bucket_task(lb, rb, key, left_ts, right_ts, tie_col,
+                            payload_cols, ttl_us, left_cols, left_types,
+                            payload_types, expected_bucket):
+    return _merge_asof_bucket(lb, rb, key, left_ts, right_ts, tie_col,
+                              payload_cols, ttl_us, left_cols, left_types,
+                              payload_types, expected_bucket)
+
+
 def asof_join_partitioned(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -377,18 +472,84 @@ def asof_join_partitioned(
     payload_cols: Optional[List[str]] = None,
     ttl: Optional[pd.Timedelta] = None,
     num_buckets: int = 64,
+    salt_factor: int = 0,
+    hot_keys=None,
 ) -> "ray.data.Dataset":
     """As-of join where both sides are large.
 
-    Hash-bucket co-partition (deterministic uint64 key hash % num_buckets,
-    same bucketing both sides so a key's rows never straddle buckets) →
-    union with a side tag → one sorted merge per bucket inside
-    ``groupby('__bucket__').map_groups`` (Arrow in / Arrow out; only the
-    (key, ts) index frame goes through pandas merge_asof, payloads move by
-    Arrow take — list/token columns stay zero-copy). Skew is handled
-    upstream by salting hot keys (stages/salt.py). Returns a Dataset of
-    left columns + payload columns.
+    Each side is hash-bucket co-partitioned INDEPENDENTLY (deterministic
+    uint64 key hash % num_buckets, identical bucketing both sides so a
+    key's rows never straddle buckets) and range-sorted on the bucket id
+    with explicit integer boundaries — one block per bucket, carrying
+    ONLY that side's own columns. Bucket i of the left is then merged
+    with bucket i of the right in one Ray task per bucket (the one spot
+    the Dataset API can't express: pairing two datasets' blocks by
+    partition id). The round-1 design unioned both sides into a
+    null-padded wide schema before one big sort; measured, that padding
+    serializes real bytes (an all-null float64/list column still writes
+    its value/offset buffers — 3 padded columns tripled shuffle IPC), so
+    at 100 TB the two-sort no-padding plan ships ~the input bytes only.
+
+    Skew: pass ``salt_factor`` + ``hot_keys`` (from
+    ``stages.salt.detect_hot_keys``) to shard each hot key's LEFT rows
+    over ``salt_factor`` pseudo-keys and replicate the right side's hot
+    rows once per shard — the per-bucket merge then sees bounded key
+    runs. Partitioning assumption: one (possibly salted) key's rows fit
+    in one bucket's block; size ``num_buckets`` with
+    ``stages.partition.auto_num_buckets``.
     """
+    if salt_factor and hot_keys:
+        from sous_chef_ray.stages.salt import SALT_SEP
+
+        hot = frozenset(hot_keys)
+        salted = f"{key}__salted"
+
+        def salt_left(t: pa.Table) -> pa.Table:
+            kv = t[key].to_numpy(zero_copy_only=False).astype(str)
+            is_hot = np.isin(t[key].to_numpy(zero_copy_only=False), list(hot))
+            shard = (
+                pd.util.hash_pandas_object(
+                    pd.Series(_ts_to_int(t[left_ts])), index=False
+                ).to_numpy() % np.uint64(salt_factor)
+            ).astype(np.int64)
+            out = kv.astype(object)
+            idx = np.nonzero(is_hot)[0]
+            for i in idx:
+                out[i] = f"{out[i]}{SALT_SEP}{shard[i]}"
+            return t.append_column(salted, pa.array(out, type=pa.string()))
+
+        def salt_right(t: pa.Table) -> pa.Table:
+            kvals = t[key].to_numpy(zero_copy_only=False)
+            is_hot = np.isin(kvals, list(hot))
+            cold_idx = np.nonzero(~is_hot)[0]
+            hot_idx = np.nonzero(is_hot)[0]
+            parts = []
+            cold = t.take(pa.array(cold_idx))
+            cold = cold.append_column(
+                salted, pa.array(kvals[cold_idx].astype(str), type=pa.string())
+            )
+            parts.append(cold)
+            for s in range(salt_factor):
+                rep = t.take(pa.array(hot_idx))
+                rep = rep.append_column(
+                    salted,
+                    pa.array([f"{v}{SALT_SEP}{s}" for v in kvals[hot_idx]],
+                             type=pa.string()),
+                )
+                parts.append(rep)
+            return pa.concat_tables(parts)
+
+        left = left.map_batches(salt_left, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        right = right.map_batches(salt_right, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        out = asof_join_partitioned(
+            left, right, key=salted, left_ts=left_ts, right_ts=right_ts,
+            tie_col=tie_col, payload_cols=payload_cols, ttl=ttl,
+            num_buckets=num_buckets,
+        )
+        return out.drop_columns([salted])
+
     left_schema: pa.Schema = left.schema().base_schema
     right_schema: pa.Schema = right.schema().base_schema
     if payload_cols is None:
@@ -396,92 +557,41 @@ def asof_join_partitioned(
             c for c in right_schema.names if c not in (key, right_ts, tie_col)
         ]
     left_cols = list(left_schema.names)
-    right_types = {n: right_schema.field(n).type for n in right_schema.names}
-    left_types = {n: left_schema.field(n).type for n in left_schema.names}
     ttl_us = None
     if ttl is not None:
         ttl_us = int(pd.Timedelta(ttl).value // 1000)
 
-    # unified wide schema: left cols + right (ts, tie, payload) + markers
-    right_extra = [right_ts] + ([tie_col] if tie_col else []) + payload_cols
-    right_extra = [c for c in right_extra if c not in left_cols]
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket__", pa.array(_key_hash(t[key], num_buckets)))
 
-    def tag_left(t: pa.Table) -> pa.Table:
-        n = len(t)
-        cols = {c: t[c] for c in left_cols}
-        for c in right_extra:
-            cols[c] = pa.nulls(n, type=right_types[c])
-        cols["__bucket__"] = pa.array(_key_hash(t[key], num_buckets))
-        cols["__side__"] = pa.array(np.zeros(n, dtype=np.int8))
-        return pa.table(cols)
+    boundaries = list(range(1, num_buckets))
+    right_keep = [key, right_ts] + ([tie_col] if tie_col else []) + [
+        c for c in payload_cols if c not in left_cols
+    ]
+    lsorted = left.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
+                               ).sort("__bucket__", boundaries=boundaries)
+    rslim = right.select_columns(list(dict.fromkeys(right_keep)))
+    rsorted = rslim.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
+                                ).sort("__bucket__", boundaries=boundaries)
 
-    def tag_right(t: pa.Table) -> pa.Table:
-        n = len(t)
-        cols = {}
-        for c in left_cols:
-            cols[c] = t[c] if c == key else pa.nulls(n, type=left_types[c])
-        for c in right_extra:
-            cols[c] = t[c]
-        cols["__bucket__"] = pa.array(_key_hash(t[key], num_buckets))
-        cols["__side__"] = pa.array(np.ones(n, dtype=np.int8))
-        return pa.table(cols)
-
-    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
-    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
-    both = lt.union(rt)
-
-    out_names = left_cols + [c for c in payload_cols if c not in left_cols]
-
-    def merge(g: pa.Table) -> pa.Table:
-        side = g["__side__"].to_numpy(zero_copy_only=False)
-        lidx = np.nonzero(side == 0)[0]
-        ridx = np.nonzero(side == 1)[0]
-        keys = g[key].to_numpy(zero_copy_only=False)
-        if len(lidx) == 0:
-            return g.select(out_names).slice(0, 0)
-        ldf = pd.DataFrame(
-            {
-                key: keys[lidx],
-                "__ts__": _ts_to_int(g[left_ts])[lidx],
-                "__l__": lidx,
-            }
-        ).sort_values("__ts__", kind="mergesort")
-        rdf = pd.DataFrame(
-            {
-                key: keys[ridx],
-                "__ts__": _ts_to_int(g[right_ts])[ridx],
-                "__r__": ridx,
-            }
+    lrefs = lsorted.to_arrow_refs()
+    rrefs = rsorted.to_arrow_refs()
+    if len(lrefs) != len(rrefs):
+        raise RuntimeError(
+            f"bucket-block mismatch: {len(lrefs)} left vs {len(rrefs)} right"
         )
-        if tie_col is not None and len(ridx):
-            rdf["__tie__"] = _ts_to_int(g[tie_col])[ridx]
-            rdf = rdf.sort_values("__tie__", kind="mergesort")
-        rdf = rdf.sort_values("__ts__", kind="mergesort")
-        merged = pd.merge_asof(
-            ldf,
-            rdf[[key, "__ts__", "__r__"]],
-            on="__ts__",
-            by=key,
-            direction="backward",
-            allow_exact_matches=True,
-            tolerance=ttl_us,
-        )
-        # matched right global row per left row (null → null payload)
-        rpos = merged["__r__"].to_numpy()
-        order = merged["__l__"].to_numpy().astype(np.int64)
-        out = g.select(left_cols).take(pa.array(order))
-        miss = np.isnan(rpos) if rpos.dtype.kind == "f" else np.zeros(len(rpos), bool)
-        safe = np.where(miss, 0, rpos).astype(np.int64)
-        # null-masked index array: take() emits nulls at null indices
-        ridx_arr = pa.array(safe, type=pa.int64(), mask=miss)
-        for c in payload_cols:
-            if c in left_cols:
-                continue
-            out = out.append_column(c, g[c].combine_chunks().take(ridx_arr))
-        return out
 
-    # one block per bucket via explicit integer boundaries (no sampling,
-    # no key straddling), whole-bucket batches into the merge
-    return both.sort("__bucket__", boundaries=list(range(1, num_buckets))).map_batches(
-        merge, batch_format="pyarrow", batch_size=None
-    )
+    left_types = {n: left_schema.field(n).type for n in left_schema.names}
+    payload_types = {
+        c: right_schema.field(c).type
+        for c in payload_cols if c not in left_cols
+    }
+    out_refs = [
+        _merge_asof_bucket_task.remote(
+            lb, rb, key, left_ts, right_ts, tie_col, payload_cols, ttl_us,
+            left_cols, left_types, payload_types, b,
+        )
+        for b, (lb, rb) in enumerate(zip(lrefs, rrefs))
+    ]
+    # merge output selects left_cols + payloads only — no marker columns
+    return ray.data.from_arrow_refs(out_refs)

@@ -20,7 +20,14 @@ import pyarrow as pa
 
 import ray.data as rd
 
-SALT_SEP = "\x00"
+# Separator between key and salt shard. MUST NOT be NUL:
+# pd.util.hash_pandas_object is not value-deterministic for strings with
+# embedded \x00 (its C fast path truncates at the NUL, its fallback does
+# not, and which one runs depends on the OTHER values in the array) — a
+# \x00 separator made the same pseudo-key hash to different buckets in
+# different batches. \x1f (unit separator) hashes stably and is
+# vanishingly rare in real keys.
+SALT_SEP = "\x1f"
 
 
 def detect_hot_keys(

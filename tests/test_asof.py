@@ -143,3 +143,63 @@ def test_unknown_keys_all_null(data):
     ).to_pandas()
     unknown = got[got["doc_id"].str.startswith("nodoc")]
     assert len(unknown) > 0 and unknown["n_tok"].isna().all()
+
+
+def test_partitioned_salted_matches_unsalted_on_zipf_key():
+    """Salted partitioned as-of == unsalted on a Zipf-hot key: the hot
+    key's left rows shard over salt_factor pseudo-keys while the right
+    side's hot rows replicate per shard (stages/asof.py salting path)."""
+    rng = np.random.default_rng(9)
+    n_r, n_l = 4000, 1500
+    # key 'hot' carries ~60% of the mass
+    keys_r = np.where(rng.random(n_r) < 0.6, "hot",
+                      rng.choice([f"k{i}" for i in range(40)], n_r))
+    keys_l = np.where(rng.random(n_l) < 0.6, "hot",
+                      rng.choice([f"k{i}" for i in range(40)], n_l))
+    base = 1_700_000_000_000_000
+    features = pa.table({
+        "doc_id": pa.array(keys_r.astype(object), type=pa.string()),
+        "event_ts": pa.array(base + rng.integers(0, 10**9, n_r), type=pa.timestamp("us")),
+        "val": pa.array(rng.standard_normal(n_r)),
+    })
+    spine = pa.table({
+        "doc_id": pa.array(keys_l.astype(object), type=pa.string()),
+        "event_timestamp": pa.array(base + rng.integers(0, 10**9, n_l), type=pa.timestamp("us")),
+    })
+    kw = dict(key="doc_id", left_ts="event_timestamp", right_ts="event_ts",
+              tie_col=None, payload_cols=["val"], ttl=None, num_buckets=8)
+    plain = asof_join_partitioned(
+        rd.from_arrow(spine).repartition(4), rd.from_arrow(features).repartition(4),
+        **kw,
+    ).to_pandas()
+    salted = asof_join_partitioned(
+        rd.from_arrow(spine).repartition(4), rd.from_arrow(features).repartition(4),
+        salt_factor=4, hot_keys={"hot"}, **kw,
+    ).to_pandas()
+    key = ["doc_id", "event_timestamp", "val"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = salted.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key], check_dtype=False)
+
+
+def test_partitioned_handles_empty_buckets():
+    """Bucket-block pairing must stay aligned when some hash buckets are
+    empty (2 keys, 16 buckets)."""
+    base = 1_700_000_000_000_000
+    features = pa.table({
+        "doc_id": pa.array(["a", "a", "b"], type=pa.string()),
+        "event_ts": pa.array([base, base + 10, base + 5], type=pa.timestamp("us")),
+        "val": pa.array([1.0, 2.0, 3.0]),
+    })
+    spine = pa.table({
+        "doc_id": pa.array(["a", "b", "c"], type=pa.string()),
+        "event_timestamp": pa.array([base + 20] * 3, type=pa.timestamp("us")),
+    })
+    out = asof_join_partitioned(
+        rd.from_arrow(spine), rd.from_arrow(features),
+        key="doc_id", left_ts="event_timestamp", right_ts="event_ts",
+        payload_cols=["val"], num_buckets=16,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == ["a", "b", "c"]
+    assert list(out["val"])[:2] == [2.0, 3.0]
+    assert pd.isna(out["val"].iloc[2])
