@@ -53,44 +53,60 @@ def ensure_input():
         pq.write_table(spine, SPINE_CACHE)
 
 
-PROBE_DOCS = "/tmp/sous_chef_bench/probe_docs_1000000.parquet"
+PROBE_ROWS = int(os.environ.get("BENCH_PROBE_ROWS", 1_000_000))
 
 
-def ensure_probe():
-    import pyarrow.parquet as pq
+def _probe_work(ids) -> "object":
+    """The probe's unit of work, shared by the Ray probe and the bare
+    multiprocessing kernel so the two are apples-to-apples: generate a
+    deterministic ~120-word doc per id (Weyl sequence — pure CPU, no
+    I/O, no shared input) and compute 3-window rolling fingerprints
+    (stages/text.rolling_fingerprint_one, the winnowing trick)."""
+    import numpy as np
 
-    from sous_chef_ray.sources.synth import probe_docs
+    from sous_chef_ray.stages.text import _roll_pows, rolling_fingerprint_one
 
-    if not os.path.exists(PROBE_DOCS):
-        pq.write_table(probe_docs(1_000_000, seed=9), PROBE_DOCS)
+    pows = {w: _roll_pows(w) for w in (12, 16, 24)}
+    out = np.empty((len(ids), 3), dtype=np.uint64)
+    for r, i in enumerate(ids):
+        base = (int(i) * 2654435761) & 0xFFFFFFFF
+        text = " ".join(f"w{(base + 977 * j) % 5000:04d}" for j in range(120))
+        for c, w in enumerate((12, 16, 24)):
+            out[r, c] = rolling_fingerprint_one(text, w, pows[w])
+    return out
+
+
+def _probe_batch(batch):
+    import pyarrow as pa
+
+    ids = batch["id"].to_numpy()
+    fp = _probe_work(ids)
+    return pa.table({
+        "id": batch["id"],
+        "rh_w12": pa.array(fp[:, 0], type=pa.uint64()),
+        "rh_w16": pa.array(fp[:, 1], type=pa.uint64()),
+        "rh_w24": pa.array(fp[:, 2], type=pa.uint64()),
+    })
 
 
 def scaling_probe(num_cpus: int) -> float:
-    """Compute-bound probe: rolling-hash fingerprints over 1M docs.
-
-    The sandbox VM's memory bandwidth saturates at ~2.3 GB/s with 8
-    processes (measured; see BASELINE.md), so byte-moving phases plateau
-    regardless of engine design; this probe
-    (stages/text.rolling_fingerprint_one) is bytecode/cache-resident
-    compute — it evidences task-parallel CPU scaling, the quantity that
-    translates to added nodes on a real cluster.
-    """
+    """Compute-bound probe: fingerprints over range(1M) with docs
+    GENERATED in-task — zero input I/O, so nothing in the timed region
+    touches the VM's ~2.3 GB/s shared-memory-bandwidth ceiling (which
+    saturates at 8 procs and would otherwise mask CPU scaling; see
+    BASELINE.md). Stateless tasks, ~4k ids per task."""
     import ray.data as rd
 
-    ensure_probe()
-    ds = rd.read_parquet(PROBE_DOCS)
-    # stateless tasks (workers are reused; no actor-pool spin-up inside
-    # the timed region); one untimed pass warms worker imports
-    ds.limit(10_000).map_batches(
-        _probe_fingerprint, batch_format="pyarrow", batch_size=8192,
-        zero_copy_batch=True,
+    ds = rd.range(PROBE_ROWS, override_num_blocks=num_cpus * 8)
+    # one untimed pass warms worker imports
+    rd.range(num_cpus * 512, override_num_blocks=num_cpus).map_batches(
+        _probe_batch, batch_format="pyarrow", batch_size=512,
     ).count()
     best = None
     for _ in range(2):  # best-of-2: the shared hypervisor adds ~20% noise
         t0 = time.time()
         ds.map_batches(
-            _probe_fingerprint, batch_format="pyarrow", batch_size=8192,
-            zero_copy_batch=True,
+            _probe_batch, batch_format="pyarrow", batch_size=4096,
         ).count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
@@ -98,9 +114,9 @@ def scaling_probe(num_cpus: int) -> float:
 
 
 def _kernel_efficiency() -> dict:
-    """Machine-level parallel capacity: the probe kernel in a bare
-    multiprocessing pool (no Ray), 8 vs 32 procs. Separates what the
-    HOST can scale from what the engine adds on top."""
+    """Machine-level parallel capacity: the SAME probe work in a bare
+    multiprocessing pool (no Ray), 8 vs 32 procs, equal work per proc.
+    Separates what the HOST can scale from what the engine adds."""
     import multiprocessing as mp
 
     res = {}
@@ -117,29 +133,10 @@ def _kernel_efficiency() -> dict:
     }
 
 
-def _kernel_burn(_):
-    from sous_chef_ray.stages.text import rolling_fingerprint_one
+def _kernel_burn(seed):
+    import numpy as np
 
-    s = " ".join(f"w{i % 2000:04d}" for i in range(120))
-    for _ in range(3000):
-        rolling_fingerprint_one(s)
-
-
-def _probe_fingerprint(batch):
-    import pyarrow as pa
-
-    from sous_chef_ray.stages.text import rolling_fingerprint_one
-
-    # multi-scale fingerprints (windows 12/16/24): the standard winnowing
-    # trick to catch both short and long overlaps; 3x compute per doc
-    texts = batch["text"].to_pylist()
-    out = {}
-    for w in (12, 16, 24):
-        out[f"rh_w{w}"] = pa.array(
-            [rolling_fingerprint_one(s or "", w) for s in texts], type=pa.uint64()
-        )
-    out["doc_id"] = batch["doc_id"]
-    return pa.table(out)
+    _probe_work(np.arange(seed * 20_000, seed * 20_000 + 20_000))
 
 
 def headline(num_cpus: int) -> dict:
@@ -200,6 +197,46 @@ def headline(num_cpus: int) -> dict:
     }
 
 
+def bench_asof_partitioned(num_cpus: int) -> dict:
+    """Large-large partitioned as-of: the 16M-row token table joined
+    as-of against ITSELF (spine = every (doc_id, event_ts); features =
+    same table with a narrow n_tok payload + created_ts tie-break).
+    Both sides ≥ 16M rows — the co-partitioned two-sort plan, no
+    broadcast. doc_id is Zipf-ish hot (sources/synth.py), so this also
+    exercises skewed-bucket behavior."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from sous_chef_ray.stages.asof import asof_join_partitioned
+
+    def to_spine(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "event_timestamp": t["event_ts"],
+        })
+
+    left = rd.read_parquet(TOKEN_CACHE, columns=["doc_id", "event_ts"]).map_batches(
+        to_spine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = rd.read_parquet(
+        TOKEN_CACHE, columns=["doc_id", "event_ts", "created_ts", "n_tok"]
+    )
+    t0 = time.time()
+    out = asof_join_partitioned(
+        left, right, key="doc_id", left_ts="event_timestamp",
+        right_ts="event_ts", tie_col="created_ts", payload_cols=["n_tok"],
+        ttl=None, num_buckets=max(64, num_cpus * 4),
+    )
+    n = out.count()
+    dt = time.time() - t0
+    return {
+        "sec_asof_partitioned": round(dt, 3),
+        "asof_partitioned_rows": n,
+        "asof_partitioned_rows_per_sec": round(n / dt, 1),
+    }
+
+
 def run_queries(sf_dir: str) -> dict:
     import sous_chef_ray.queries as q
 
@@ -254,6 +291,8 @@ def main():
                  logging_level="ERROR")
     ensure_input()
     h = headline(num_cpus)
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        h.update(bench_asof_partitioned(num_cpus))
     if os.environ.get("BENCH_HEADLINE_ONLY") or os.environ.get("BENCH_PROBE"):
         # probe only runs inside --scaling subprocesses (it is the
         # compute-bound scaling evidence, ~2 min) — not in the plain bench

@@ -574,8 +574,15 @@ def asof_join_partitioned(
     rsorted = rslim.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
                                 ).sort("__bucket__", boundaries=boundaries)
 
-    lrefs = lsorted.to_arrow_refs()
-    rrefs = rsorted.to_arrow_refs()
+    # execute both sides' sorts CONCURRENTLY (to_arrow_refs blocks until
+    # its dataset is fully sorted; serial calls would idle half the CPUs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        lfut = ex.submit(lsorted.to_arrow_refs)
+        rfut = ex.submit(rsorted.to_arrow_refs)
+        lrefs = lfut.result()
+        rrefs = rfut.result()
     if len(lrefs) != len(rrefs):
         raise RuntimeError(
             f"bucket-block mismatch: {len(lrefs)} left vs {len(rrefs)} right"
