@@ -845,6 +845,31 @@ def backfill_daily_purchase(sf_dir: str):
     )
 
 
+_NTILE_SQL = """
+SELECT user_id, event_id,
+       NTILE(4) OVER w AS ntile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register("event_ntile_pct", _NTILE_SQL)
+def event_ntile_pct(sf_dir: str):
+    """NTILE / PERCENT_RANK / CUME_DIST in one fused Arrow pass
+    (SURVEY §2.C7 family). Ordered by the unique event_id so NTILE's
+    tie-arbitrary row numbering is deterministic on both sides."""
+    from sous_chef_ray.stages.window import with_ntile_pct
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id"])
+    out = with_ntile_pct(
+        ev, "user_id", "event_id", n_tiles=4,
+        num_buckets=_buckets(sf_dir, "events"),
+    )
+    return out.select_columns(["user_id", "event_id", "ntile", "pct_rank", "cume_dist"])
+
+
 # ---------------------------------------------------------------------------
 # North-rule: the flagship's FUSED window op (lag/lead + session in one
 # shuffle, pipelines.materialize.window_features) verified end-to-end.

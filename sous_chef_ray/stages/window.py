@@ -237,6 +237,66 @@ def with_running_sum(
     return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
+def with_ntile_pct(
+    ds: "rd.Dataset",
+    partition_by: List[str] | str,
+    order_by: str,
+    n_tiles: int = 4,
+    descending: bool = False,
+    ntile_name: str = "ntile",
+    pct_rank_name: str = "pct_rank",
+    cume_dist_name: str = "cume_dist",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """NTILE(n) / PERCENT_RANK() / CUME_DIST() in one pass (SQL
+    semantics: NTILE splits each partition into n groups, larger groups
+    first; PERCENT_RANK = (rank-1)/(rows-1); CUME_DIST = #peers≤ / rows)."""
+    keys = _as_list(partition_by)
+
+    def fn(t: pa.Table) -> pa.Table:
+        t, key_change, group_start, arange = _sorted_with_bounds(
+            t, keys, [order_by], descending
+        )
+        n = len(t)
+        key_end = np.zeros(n, dtype=bool)
+        if n:
+            key_end[-1] = True
+            key_end[:-1] = key_change[1:]
+        group_end = np.minimum.accumulate(np.where(key_end, arange, n)[::-1])[::-1]
+        size = group_end - group_start + 1
+        pos = arange - group_start  # 0-based row number within partition
+        # NTILE: first (size % n) tiles get ceil(size/n) rows
+        q, r = size // n_tiles, size % n_tiles
+        big = (q + 1) * r  # rows covered by the larger tiles
+        in_big = pos < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big,
+                pos // np.maximum(q + 1, 1),
+                r + np.where(q > 0, (pos - big) // np.maximum(q, 1), 0),
+            ) + 1
+        # rank (ties share) for percent_rank; peer-group end for cume_dist
+        ov = t[order_by].to_numpy(zero_copy_only=False)
+        value_change = key_change.copy()
+        if n:
+            value_change[1:] |= ov[1:] != ov[:-1]
+        first_tie = np.maximum.accumulate(np.where(value_change, arange, 0))
+        rank = first_tie - group_start + 1
+        value_end = np.zeros(n, dtype=bool)
+        if n:
+            value_end[-1] = True
+            value_end[:-1] = value_change[1:]
+        peer_end = np.minimum.accumulate(np.where(value_end, arange, n)[::-1])[::-1]
+        pct = np.where(size > 1, (rank - 1) / np.maximum(size - 1, 1), 0.0)
+        cume = (peer_end - group_start + 1) / size
+        t = t.append_column(ntile_name, pa.array(tile.astype(np.int64)))
+        t = t.append_column(pct_rank_name, pa.array(pct.astype(np.float64)))
+        t = t.append_column(cume_dist_name, pa.array(cume.astype(np.float64)))
+        return t
+
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds: "rd.Dataset",
     partition_by: List[str] | str,
