@@ -248,6 +248,47 @@ def approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_n_users": [float(round(est, 1))]})
 
 
+@register("approx_quantile_quantity")  # KLL sketch → rows-only (tolerance)
+def approx_quantile_quantity(sf_dir: str):
+    """KLL-sketch approximate quantiles of l_quantity — mergeable
+    per-batch sketches, no global sort (stages/sketch.KllSketch;
+    rank error ~O(1/k), accuracy-tested in tests/test_sketch.py)."""
+    from sous_chef_ray.stages.sketch import approx_quantiles
+
+    li = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    qs = [0.25, 0.5, 0.75, 0.95]
+    est = approx_quantiles(li, "l_quantity", qs, k=200)
+    return pd.DataFrame({"q": qs, "approx_quantity": np.round(est, 2)})
+
+
+@register("theta_click_purchase_overlap")  # theta sketch → rows-only (tolerance)
+def theta_click_purchase_overlap(sf_dir: str):
+    """Theta/KMV sketch set operations: |click ∪ purchase| /
+    |click ∩ purchase| / |click \\ purchase| user cardinalities from two
+    mergeable sketches — no distinct shuffle (stages/sketch.ThetaSketch)."""
+    from sous_chef_ray.stages.sketch import ThetaSketch, theta_sketch_of
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def only(kind):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["event_type"], k)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    a = theta_sketch_of(only("click"), "user_id", k=4096)
+    b = theta_sketch_of(only("purchase"), "user_id", k=4096)
+    return pd.DataFrame({
+        "set_op": ["click", "purchase", "union", "intersection", "click_only"],
+        "approx_users": [
+            round(a.estimate(), 1), round(b.estimate(), 1),
+            round(ThetaSketch.union(a, b), 1),
+            round(ThetaSketch.intersection(a, b), 1),
+            round(ThetaSketch.difference(a, b), 1),
+        ],
+    })
+
+
 # ---------------------------------------------------------------------------
 # C12: joins — hash (large-large), broadcast (dim), semi/anti
 # ---------------------------------------------------------------------------

@@ -1,11 +1,20 @@
 """Approximate / mergeable sketch aggregates.
 
-HyperLogLog approximate COUNT DISTINCT: each batch emits one serialized
-register array (the sketches are mergeable by element-wise max), a tiny
-final stage merges them — the canonical shape for sketch aggregation at
-100 TB (shuffle moves 2^p bytes per batch, never values). No reference
-counterpart (sous-chef has no sketches); standard Flajolet et al. HLL
-with the usual small-range correction.
+Three mergeable sketch families, all following the same 100-TB shape —
+each batch emits ONE small serialized sketch, a tiny final stage merges
+them; the shuffle moves kilobytes per batch, never values:
+
+* HyperLogLog approximate COUNT DISTINCT (Flajolet et al., with the
+  small-range linear-counting correction).
+* KLL-style quantile sketch (Karnin-Lang-Liberty, simplified): leveled
+  buffers with weight-doubling compaction; rank error ~O(1/k).
+* Theta/KMV distinct sketch (k minimum hash values): supports UNION /
+  INTERSECTION / DIFFERENCE cardinality estimates across sketches —
+  the standard way to ask "how many users did BOTH X and Y" without a
+  distinct shuffle.
+
+No reference counterpart (sous-chef has no sketches); all algorithms
+from the public literature.
 """
 
 from __future__ import annotations
@@ -83,3 +92,182 @@ def approx_count_distinct(
             other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
             merged.merge(other)
     return merged.estimate()
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch (Karnin, Lang, Liberty 2016 — simplified)
+# ---------------------------------------------------------------------------
+
+class KllSketch:
+    """Mergeable approximate-quantile sketch. Level i holds items of
+    weight 2^i; when a level overflows its capacity (k shrinking by 2/3
+    per level above the top), it is sorted and every other item (random
+    parity) is promoted to level i+1. Rank error is O(1/k)."""
+
+    def __init__(self, k: int = 200, seed: int = 0):
+        self.k = k
+        self.levels: list = [np.empty(0, dtype=np.float64)]
+        self.rng = np.random.default_rng(seed)
+
+    def _cap(self, lvl: int) -> int:
+        depth = len(self.levels)
+        return max(int(np.ceil(self.k * (2.0 / 3.0) ** (depth - 1 - lvl))), 8)
+
+    def add(self, vals: np.ndarray) -> None:
+        vals = np.asarray(vals, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self._cap(i):
+                buf = np.sort(self.levels[i])
+                start = int(self.rng.integers(0, 2))
+                promoted = buf[start::2]
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, lv in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compress()
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        items, weights = [], []
+        for i, lv in enumerate(self.levels):
+            items.append(lv)
+            weights.append(np.full(len(lv), 1 << i, dtype=np.float64))
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="mergesort")
+        it, wt = it[order], wt[order]
+        cum = np.cumsum(wt)
+        total = cum[-1] if len(cum) else 0.0
+        out = np.empty(len(qs), dtype=np.float64)
+        for j, q in enumerate(qs):
+            target = q * total
+            pos = int(np.searchsorted(cum, target, side="left"))
+            out[j] = it[min(pos, len(it) - 1)] if len(it) else np.nan
+        return out
+
+    def serialize(self) -> bytes:
+        import pickle
+
+        return pickle.dumps([lv for lv in self.levels])
+
+    @classmethod
+    def deserialize(cls, blob: bytes, k: int = 200) -> "KllSketch":
+        import pickle
+
+        sk = cls(k)
+        sk.levels = [np.asarray(lv, dtype=np.float64) for lv in pickle.loads(blob)]
+        return sk
+
+
+def approx_quantiles(ds: "rd.Dataset", col: str, qs, k: int = 200) -> np.ndarray:
+    """Approximate quantiles of ``col``: per-batch KLL sketches (each a
+    few KB) merged on the driver — no global sort, no value shuffle."""
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sk = KllSketch(k, seed=(len(df) * 2654435761) & 0x7FFFFFFF)
+        sk.add(df[col].to_numpy(dtype=np.float64))
+        return pd.DataFrame({"kll": [sk.serialize()]})
+
+    merged = KllSketch(k)
+    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        for blob in batch["kll"]:
+            merged.merge(KllSketch.deserialize(blob, k))
+    return merged.quantiles(qs)
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+class ThetaSketch:
+    """K-minimum-values distinct sketch over uint64 hashes.
+
+    estimate = (k-1) / theta where theta = k-th smallest hash / 2^64.
+    Union: merge hash sets, keep k smallest. Intersection/difference:
+    restrict both sets below min(theta_a, theta_b) and count overlap —
+    the standard KMV set-operation estimators."""
+
+    MAX_HASH = float(1 << 64)
+
+    def __init__(self, k: int = 4096):
+        self.k = k
+        self.hashes = np.empty(0, dtype=np.uint64)  # sorted, unique, ≤ k
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        self.hashes = np.unique(np.concatenate([self.hashes, h]))[: self.k]
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        self.hashes = np.unique(np.concatenate([self.hashes, other.hashes]))[: self.k]
+        return self
+
+    @property
+    def theta(self) -> float:
+        if len(self.hashes) < self.k:
+            return 1.0
+        return float(self.hashes[-1]) / self.MAX_HASH
+
+    def estimate(self) -> float:
+        if len(self.hashes) < self.k:
+            return float(len(self.hashes))
+        return (self.k - 1) / self.theta
+
+    @staticmethod
+    def union(a: "ThetaSketch", b: "ThetaSketch") -> float:
+        u = ThetaSketch(min(a.k, b.k))
+        u.merge(a).merge(b)
+        return u.estimate()
+
+    @staticmethod
+    def intersection(a: "ThetaSketch", b: "ThetaSketch") -> float:
+        th = min(a.theta, b.theta)
+        lim = np.uint64(int(th * ThetaSketch.MAX_HASH) - 1) if th < 1.0 else None
+        ha = a.hashes if lim is None else a.hashes[a.hashes <= lim]
+        hb = b.hashes if lim is None else b.hashes[b.hashes <= lim]
+        inter = len(np.intersect1d(ha, hb, assume_unique=True))
+        return inter / th if th > 0 else 0.0
+
+    @staticmethod
+    def difference(a: "ThetaSketch", b: "ThetaSketch") -> float:
+        """|a \\ b| estimate."""
+        th = min(a.theta, b.theta)
+        lim = np.uint64(int(th * ThetaSketch.MAX_HASH) - 1) if th < 1.0 else None
+        ha = a.hashes if lim is None else a.hashes[a.hashes <= lim]
+        hb = b.hashes if lim is None else b.hashes[b.hashes <= lim]
+        only = len(np.setdiff1d(ha, hb, assume_unique=True))
+        return only / th if th > 0 else 0.0
+
+
+def theta_sketch_of(ds: "rd.Dataset", col: str, k: int = 4096) -> ThetaSketch:
+    """Build a distributed ThetaSketch of ``col``: per-batch KMV sets
+    (≤ k hashes each) merged on the driver."""
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
+        sk = ThetaSketch(k)
+        sk.add_hashes(np.unique(h))
+        return pd.DataFrame({"kmv": [sk.hashes.tobytes()]})
+
+    merged = ThetaSketch(k)
+    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        for blob in batch["kmv"]:
+            other = ThetaSketch(k)
+            other.hashes = np.frombuffer(blob, dtype=np.uint64).copy()
+            merged.merge(other)
+    return merged

@@ -32,3 +32,80 @@ def test_approx_count_distinct_dataset():
     true = df["u"].nunique()
     est = approx_count_distinct(rd.from_pandas(df).repartition(6), "u", p=14)
     assert abs(est - true) / true < 0.05, (est, true)
+
+
+def test_kll_quantile_accuracy():
+    """Merged per-chunk KLL sketches estimate quantiles within ~2% rank
+    error of exact (k=200 → expected O(1/k) error)."""
+    import numpy as np
+
+    from sous_chef_ray.stages.sketch import KllSketch
+
+    rng = np.random.default_rng(4)
+    data = rng.lognormal(0, 1, 200_000)
+    merged = KllSketch(200)
+    for i in range(0, len(data), 10_000):  # simulate per-batch sketching
+        sk = KllSketch(200, seed=i)
+        sk.add(data[i:i + 10_000])
+        merged.merge(sk)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = merged.quantiles(qs)
+    sorted_data = np.sort(data)
+    for q, e in zip(qs, est):
+        # rank of the estimate vs target rank
+        rank = np.searchsorted(sorted_data, e) / len(data)
+        assert abs(rank - q) < 0.02, (q, e, rank)
+
+
+def test_kll_distributed_matches_exact_within_tolerance():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(50_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    est = approx_quantiles(ds, "v", [0.25, 0.5, 0.75], k=200)
+    exact = np.quantile(vals, [0.25, 0.5, 0.75])
+    s = np.sort(vals)
+    for e, q in zip(est, [0.25, 0.5, 0.75]):
+        rank = np.searchsorted(s, e) / len(s)
+        assert abs(rank - q) < 0.02, (q, e, rank)
+    assert np.all(np.abs(est - exact) < 0.2)
+
+
+def test_theta_sketch_set_ops():
+    """KMV union/intersection/difference within ~5% on planted overlap."""
+    import numpy as np
+    import pandas as pd
+
+    from sous_chef_ray.stages.sketch import ThetaSketch
+
+    def sketch_of(ids):
+        h = pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy()
+        sk = ThetaSketch(4096)
+        sk.add_hashes(np.unique(h))
+        return sk
+
+    a_ids = np.arange(0, 60_000)          # |A| = 60k
+    b_ids = np.arange(40_000, 90_000)     # |B| = 50k, overlap 20k
+    a, b = sketch_of(a_ids), sketch_of(b_ids)
+    assert abs(a.estimate() - 60_000) / 60_000 < 0.05
+    assert abs(ThetaSketch.union(a, b) - 90_000) / 90_000 < 0.05
+    assert abs(ThetaSketch.intersection(a, b) - 20_000) / 20_000 < 0.08
+    assert abs(ThetaSketch.difference(a, b) - 40_000) / 40_000 < 0.08
+
+
+def test_theta_sketch_distributed():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import theta_sketch_of
+
+    ids = np.arange(30_000)
+    ds = rd.from_pandas(pd.DataFrame({"u": ids})).repartition(8)
+    sk = theta_sketch_of(ds, "u", k=2048)
+    assert abs(sk.estimate() - 30_000) / 30_000 < 0.06
