@@ -989,6 +989,78 @@ def doc_token_counts(sf_dir: str):
     )
 
 
+@register("pack_training_sequences")  # not SQL-expressible → rows-only
+def pack_training_sequences(sf_dir: str):
+    """Sequence packing: tokenize documents → concatenate per block with
+    EOS separators → fixed 512-token training rows (stages/pack.py; the
+    canonical LLM pre-training step). Token conservation + row-length
+    invariants are pytest-verified (tests/test_pack.py)."""
+    from sous_chef_ray.pipelines.materialize import tokenize_documents
+    from sous_chef_ray.stages.pack import pack_sequences
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    out = pack_sequences(tokenize_documents(docs), "tokens", seq_len=512,
+                         eos_id=50256)
+    df = out.to_pandas()
+    df["tokens"] = df["tokens"].map(lambda v: tuple(int(x) for x in v))
+    return df.sort_values(["seq_id", "n_tokens"]).reset_index(drop=True)
+
+
+_NORMALIZE_SQL = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+@register("doc_normalize_text", _NORMALIZE_SQL)
+def doc_normalize_text(sf_dir: str):
+    """Text normalization (lowercase + whitespace collapse + trim) —
+    vectorized RE2 kernels (stages/text.normalize_text)."""
+    from sous_chef_ray.stages.text import normalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(docs, "text").select_columns(["doc_id", "norm_text"])
+
+
+_REDACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+FROM documents
+"""
+
+
+@register("doc_redact_pii", _REDACT_SQL)
+def doc_redact_pii(sf_dir: str):
+    """PII-shaped span redaction (emails, phone-number shapes) — both
+    engines run the identical RE2 patterns (stages/text.redact_pii)."""
+    from sous_chef_ray.stages.text import redact_pii
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return redact_pii(docs, "text").select_columns(["doc_id", "redacted"])
+
+
+_SENTENCES_SQL = r"""
+SELECT doc_id,
+       CAST(generate_subscripts(regexp_split_to_array(text, '[.!?]+\s+'), 1)
+            AS BIGINT) AS sent_idx,
+       unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS sentence
+FROM documents
+"""
+
+
+@register("doc_sentences", _SENTENCES_SQL)
+def doc_sentences(sf_dir: str):
+    """Sentence explosion: one row per (doc, sentence, index) via
+    vectorized split + Arrow list flatten (stages/text.explode_sentences)."""
+    from sous_chef_ray.stages.text import explode_sentences
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return explode_sentences(docs, "doc_id", "text")
+
+
 _QUALITY_SQL = r"""
 SELECT doc_id,
        length(regexp_split_to_array(trim(text), '\s+')) AS n_words,

@@ -181,3 +181,66 @@ def add_lang_id(ds: "rd.Dataset", text_col: str = "text",
         batch_format="pandas",
         concurrency=pool(concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization / redaction / sentence splitting (training-data cleaning)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+_SENT_RE = r"[.!?]+\s+"
+
+
+def normalize_text(ds: "rd.Dataset", text_col: str = "text",
+                   name: str = "norm_text") -> "rd.Dataset":
+    """Lowercase + collapse runs of whitespace to single spaces + trim.
+    Pure pyarrow.compute (RE2) — matches DuckDB
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` exactly."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t[text_col])
+        x = pc.replace_substring_regex(x, _WS, " ")
+        x = pc.utf8_trim_whitespace(x)
+        return t.append_column(name, x)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_pii(ds: "rd.Dataset", text_col: str = "text",
+               name: str = "redacted") -> "rd.Dataset":
+    """Replace email addresses and phone-number-shaped spans with
+    [EMAIL] / [PHONE] markers (both engines use RE2, so the DuckDB
+    oracle applies the identical patterns). The standard pre-training
+    cleanup pass; patterns are deliberately simple and documented."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring_regex(t[text_col], _EMAIL_RE, "[EMAIL]")
+        x = pc.replace_substring_regex(x, _PHONE_RE, "[PHONE]")
+        return t.append_column(name, x)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_sentences(ds: "rd.Dataset", id_col: str = "doc_id",
+                      text_col: str = "text") -> "rd.Dataset":
+    """Split each document into sentences ([.!?]+ + whitespace
+    boundaries) and emit one row per (doc, sentence, 1-based index) —
+    vectorized split + Arrow list explode, no Python per row."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(t[text_col], _SENT_RE)
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        n_out = int(lengths.sum())
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        sent_idx = np.concatenate(
+            [np.arange(1, l + 1, dtype=np.int64) for l in lengths]
+        ) if n_out else np.empty(0, dtype=np.int64)
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doc_idx)),
+            "sent_idx": pa.array(sent_idx),
+            "sentence": pc.list_flatten(parts),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
