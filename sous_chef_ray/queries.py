@@ -1322,6 +1322,33 @@ def knn_lsh_top5(sf_dir: str):
     return out[["qid", "neighbor_id", "cosine_sim"]]
 
 
+@register("knn_ivf_top5")  # approximate → rows-only
+def knn_ivf_top5(sf_dir: str):
+    """IVF approximate cosine top-5 (the other scale path): coarse
+    k-means quantizer trained on a sample, corpus filtered to each
+    query's nprobe nearest cells, exact scoring on the survivors
+    (stages/similarity.knn_ivf; recall-tested vs brute force)."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.similarity import knn_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 10))
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 10)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = knn_ivf(
+        corpus, q_tbl, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=5,
+        n_centroids=32, nprobe=8, sample_rows=20000, concurrency=2,
+    )
+    out["cosine_sim"] = out["cosine_sim"].round(6)
+    return out[["qid", "neighbor_id", "cosine_sim"]]
+
+
 @register("multimodal_decode")  # stubbed decode → rows-only
 def multimodal_decode(sf_dir: str):
     """Binary media column → per-image feature rows via the actor-pool

@@ -69,3 +69,40 @@ def test_lsh_knn_recall_vs_brute_force():
         a = set(approx[approx["qid"] == qid]["neighbor_id"])
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_recall_vs_brute_force():
+    """IVF with generous nprobe recovers most exact neighbors on a
+    clustered corpus; nprobe == n_centroids is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((8, 24)) * 4
+    pts = np.concatenate([
+        centers[i] + rng.standard_normal((150, 24)) for i in range(8)
+    ]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+    })
+    q = tbl.slice(0, 8)
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = knn_brute_force(ds, q, k=5, concurrency=2)
+    approx = knn_ivf(ds, q, k=5, n_centroids=16, nprobe=6,
+                     sample_rows=1200, concurrency=2)
+    hits = 0
+    for qid in range(8):
+        e = set(exact[exact["qid"] == qid]["neighbor_id"])
+        a = set(approx[approx["qid"] == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / (8 * 5) >= 0.9, hits
+
+    full = knn_ivf(ds, q, k=5, n_centroids=16, nprobe=16,
+                   sample_rows=1200, concurrency=2)
+    pd_exact = exact.reset_index(drop=True)
+    pd_full = full.reset_index(drop=True)
+    assert list(pd_exact["neighbor_id"]) == list(pd_full["neighbor_id"])
