@@ -176,8 +176,19 @@ def asof_join_broadcast(
     concurrency: int | tuple = 4,
     batch_size: int = 262144,
     slim_features: Optional["ray.data.Dataset"] = None,
+    candidate_reduce: str = "auto",
 ) -> pa.Table:
     """Point-in-time join of a big feature Dataset onto a small spine.
+
+    ``candidate_reduce``: how phase 1's per-batch candidates (≤ 1 per
+    (spine row, feature batch)) reduce to one winner per spine row.
+    ``"driver"`` concatenates and lexsorts on the driver — fine while
+    spine_rows × n_batches stays tens of millions. ``"distributed"``
+    first hash-partitions candidates by spine row (24-byte rows, one
+    small shuffle) and reduces each bucket to its single winner, so the
+    driver receives ≤ spine_rows rows regardless of how many feature
+    batches contributed. ``"auto"`` picks distributed when the spine
+    exceeds 2M rows.
 
     Returns an Arrow table with the spine's columns plus ``payload_cols``
     (typed nulls where no feature row qualifies). Spine-sized output, so a
@@ -244,6 +255,21 @@ def asof_join_broadcast(
         batch_size=batch_size * 4,
         zero_copy_batch=True,
     )
+    if candidate_reduce == "distributed" or (
+        candidate_reduce == "auto" and n_spine > 2_000_000
+    ):
+        from sous_chef_ray.stages.partition import partition_apply
+
+        def best_per_sidx(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                ["__spine_idx__", "__fts__", "__tie__"], kind="mergesort"
+            )
+            return df.groupby("__spine_idx__", sort=False).tail(1)
+
+        cands = partition_apply(
+            cands, "__spine_idx__", best_per_sidx,
+            num_buckets=max(16, n_spine // 1_000_000),
+        )
     batches = [
         b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow") if len(b)
     ]

@@ -203,3 +203,25 @@ def test_partitioned_handles_empty_buckets():
     assert list(out["doc_id"]) == ["a", "b", "c"]
     assert list(out["val"])[:2] == [2.0, 3.0]
     assert pd.isna(out["val"].iloc[2])
+
+
+def test_broadcast_distributed_candidate_reduce_equiv(data):
+    """candidate_reduce='distributed' (hash-partitioned winner reduce)
+    must equal the driver-side lexsort reduce exactly."""
+    features, spine = data
+    ttl = pd.Timedelta(days=TTL_DAYS)
+    kw = dict(key="doc_id", spine_ts="event_timestamp", feature_ts="event_ts",
+              tie_col="created_ts", payload_cols=["n_tok", "source"], ttl=ttl,
+              concurrency=2, batch_size=1024)
+    a = asof_join_broadcast(
+        rd.from_arrow(features).repartition(4), spine,
+        candidate_reduce="driver", **kw,
+    ).to_pandas()
+    b = asof_join_broadcast(
+        rd.from_arrow(features).repartition(4), spine,
+        candidate_reduce="distributed", **kw,
+    ).to_pandas()
+    key = ["doc_id", "event_timestamp"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
