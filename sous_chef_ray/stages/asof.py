@@ -177,8 +177,19 @@ def asof_join_broadcast(
     batch_size: int = 262144,
     slim_features: Optional["ray.data.Dataset"] = None,
     candidate_reduce: str = "auto",
+    strategy: str = "auto",
 ) -> pa.Table:
     """Point-in-time join of a big feature Dataset onto a small spine.
+
+    ``strategy``: ``"two_phase"`` runs a slim candidate pass then a
+    payload fetch pass — right when payloads are wide (token arrays:
+    fetching only winner rows beats carrying payloads per candidate).
+    ``"single_pass"`` carries the payload through the candidate pass and
+    skips phase 2 — one scan instead of two, right when the payload is a
+    few fixed-width columns (candidate rows stay ~as small as the slim
+    ones, and the second full read dominates the cost it saves).
+    ``"auto"`` picks single-pass when every payload column is
+    fixed-width and their total width ≤ 32 bytes/row.
 
     ``candidate_reduce``: how phase 1's per-batch candidates (≤ 1 per
     (spine row, feature batch)) reduce to one winner per spine row.
@@ -227,18 +238,36 @@ def asof_join_broadcast(
     _prof = bool(os.environ.get("SOUS_CHEF_PROFILE"))
     _t0 = _time.time()
 
-    # ---- phase 1: SLIM candidate pass ------------------------------------
-    # Only (key, feature_ts, tie) stream through the merge — the projection
-    # pushes into the parquet read, so at 100 TB this pass moves ~1% of the
-    # bytes. Candidates are 24 B/row; the driver reduce is a numpy lexsort.
+    def _fixed_width(t: pa.DataType) -> int | None:
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_boolean(t) or pa.types.is_temporal(t)):
+            return max(t.bit_width // 8, 1)
+        return None
+
+    widths = [_fixed_width(schema_map[c]) for c in payload_cols]
+    single_pass = strategy == "single_pass" or (
+        strategy == "auto"
+        and payload_cols
+        and all(w is not None for w in widths)
+        and sum(widths) <= 32
+    )
+
+    # ---- phase 1: candidate pass -----------------------------------------
+    # Two-phase: only (key, feature_ts, tie) stream through the merge — the
+    # projection pushes into the parquet read, so at 100 TB this pass moves
+    # ~1% of the bytes; candidates are 24 B/row. Single-pass: narrow
+    # payloads ride along, phase 2 is skipped.
     slim_cols = [key, feature_ts] + ([tie_col] if tie_col else [])
-    slim_ds = slim_features if slim_features is not None else features.select_columns(slim_cols)
+    if single_pass:
+        slim_ds = features
+    else:
+        slim_ds = slim_features if slim_features is not None else features.select_columns(slim_cols)
     cand_params = dict(
         spine_ref=spine_ref,
         key=key,
         feature_ts=feature_ts,
         tie_col=tie_col,
-        payload_cols=[],
+        payload_cols=payload_cols if single_pass else [],
         ttl_us=ttl_us,
     )
 
@@ -293,11 +322,27 @@ def asof_join_broadcast(
     win_tie = tie[best]
 
     if _prof:
-        print(f"[asof] phase1 slim candidates: {_time.time()-_t0:.2f}s "
-              f"({len(cand_tbl)} candidates)")
+        print(f"[asof] phase1 {'single-pass' if single_pass else 'slim'} "
+              f"candidates: {_time.time()-_t0:.2f}s ({len(cand_tbl)} candidates)")
         _t0 = _time.time()
 
     if not payload_cols:
+        return pa.table(out_cols)
+
+    if single_pass:
+        # assembly directly from the winning candidate rows — no phase 2
+        best_idx = pa.array(best.astype(np.int64))
+        pos = np.full(n_spine, -1, dtype=np.int64)
+        pos[win_sidx] = np.arange(len(win_sidx), dtype=np.int64)
+        have = pos >= 0
+        take_idx = pa.array(np.where(have, pos, 0), type=pa.int64())
+        valid = pa.array(have)
+        for c in payload_cols:
+            winner_vals = cand_tbl[c].combine_chunks().take(best_idx)
+            taken = winner_vals.take(take_idx)
+            out_cols[c] = pc.if_else(valid, taken, pa.nulls(n_spine, type=schema_map[c]))
+        if _prof:
+            print(f"[asof] single-pass assembly: {_time.time()-_t0:.2f}s")
         return pa.table(out_cols)
 
     # ---- phase 2: payload FETCH pass -------------------------------------

@@ -225,3 +225,24 @@ def test_broadcast_distributed_candidate_reduce_equiv(data):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_single_pass_strategy_matches_two_phase(data):
+    """Narrow fixed-width payload: single-pass (payload through the
+    candidate pass, no phase 2) must equal two-phase exactly."""
+    features, spine = data
+    ttl = pd.Timedelta(days=TTL_DAYS)
+    kw = dict(key="doc_id", spine_ts="event_timestamp", feature_ts="event_ts",
+              tie_col="created_ts", payload_cols=["n_tok"], ttl=ttl,
+              concurrency=2, batch_size=1024)
+    two = asof_join_broadcast(
+        rd.from_arrow(features).repartition(4), spine, strategy="two_phase", **kw,
+    ).to_pandas()
+    one = asof_join_broadcast(
+        rd.from_arrow(features).repartition(4), spine, strategy="single_pass", **kw,
+    ).to_pandas()
+    key = ["doc_id", "event_timestamp"]
+    pd.testing.assert_frame_equal(
+        two.sort_values(key).reset_index(drop=True),
+        one.sort_values(key).reset_index(drop=True),
+    )
