@@ -88,3 +88,111 @@ def cast(arr: pa.Array, target: str | pa.DataType) -> pa.Array:
 
 def columns(t: pa.Table, names: List[str]) -> List[pa.ChunkedArray]:
     return [t[n] for n in names]
+
+
+# -- string functions (SUBSTR / REPLACE / LPAD / SPLIT_PART / ...) ----------
+
+def substr(arr: pa.Array, start: int, length: int | None = None) -> pa.Array:
+    """SQL SUBSTR(arr, start[, length]) — 1-based, like Snowflake/Teradata."""
+    stop = None if length is None else start - 1 + length
+    return pc.utf8_slice_codeunits(arr, start - 1, stop)
+
+
+def replace(arr: pa.Array, find: str, repl: str) -> pa.Array:
+    return pc.replace_substring(arr, find, repl)
+
+
+def lpad(arr: pa.Array, width: int, fill: str = " ") -> pa.Array:
+    return pc.utf8_lpad(arr, width, fill)
+
+
+def rpad(arr: pa.Array, width: int, fill: str = " ") -> pa.Array:
+    return pc.utf8_rpad(arr, width, fill)
+
+
+def split_part(arr: pa.Array, sep: str, index: int) -> pa.Array:
+    """SPLIT_PART(arr, sep, index) — 1-based; empty string when the part
+    does not exist (DuckDB semantics)."""
+    parts = pc.split_pattern(arr, sep)
+    n = pc.list_value_length(parts)
+    ok = pc.greater_equal(n, index)
+    # null out rows whose list is too short so list_element can't raise,
+    # then map those nulls to '' (DuckDB returns '' for a missing part)
+    safe = pc.if_else(ok, parts, pa.scalar(None, type=pa.list_(pa.string())))
+    return pc.fill_null(pc.list_element(safe, index - 1), "")
+
+
+def upper(arr: pa.Array) -> pa.Array:
+    return pc.utf8_upper(arr)
+
+
+def lower(arr: pa.Array) -> pa.Array:
+    return pc.utf8_lower(arr)
+
+
+def length(arr: pa.Array) -> pa.Array:
+    return pc.cast(pc.utf8_length(arr), pa.int64())
+
+
+def left(arr: pa.Array, n: int) -> pa.Array:
+    return pc.utf8_slice_codeunits(arr, 0, n)
+
+
+def right(arr: pa.Array, n: int) -> pa.Array:
+    """RIGHT(arr, n): last n codeunits (reverse → prefix → reverse —
+    slice kernels take scalar starts only)."""
+    return pc.utf8_reverse(pc.utf8_slice_codeunits(pc.utf8_reverse(arr), 0, n))
+
+
+def strpos(arr: pa.Array, sub: str) -> pa.Array:
+    """POSITION(sub IN arr) — 1-based, 0 when absent (DuckDB strpos)."""
+    return pc.cast(pc.add(pc.find_substring(arr, sub), 1), pa.int64())
+
+
+def reverse(arr: pa.Array) -> pa.Array:
+    return pc.utf8_reverse(arr)
+
+
+def starts_with(arr: pa.Array, prefix: str) -> pa.Array:
+    return pc.starts_with(arr, prefix)
+
+
+def ends_with(arr: pa.Array, suffix: str) -> pa.Array:
+    return pc.ends_with(arr, suffix)
+
+
+# -- date arithmetic (DATEADD / DATEDIFF / LAST_DAY) ------------------------
+
+def dateadd(part: str, n: int, ts: pa.Array) -> pa.Array:
+    """DATEADD(part, n, ts) — day/hour/minute/second via exact duration;
+    month/year via calendar arithmetic (pandas offsets, matching SQL)."""
+    part = part.lower()
+    import pandas as pd
+
+    if part in ("day", "hour", "minute", "second", "week"):
+        unit = {"day": "D", "hour": "h", "minute": "m", "second": "s", "week": "W"}[part]
+        delta = pd.Timedelta(n, unit=unit)
+        return pc.add(ts, pa.scalar(delta.to_pytimedelta(), type=pa.duration("us")))
+    if part in ("month", "year"):
+        s = ts.to_pandas()
+        off = pd.DateOffset(months=n) if part == "month" else pd.DateOffset(years=n)
+        return pa.array(s + off, type=ts.type if isinstance(ts, pa.Array) else ts.type)
+    raise ValueError(f"unsupported DATEADD part: {part}")
+
+
+def datediff_days(a: pa.Array, b: pa.Array) -> pa.Array:
+    """DATEDIFF('day', a, b) = calendar-day difference b - a (DuckDB
+    semantics: difference of the day-truncated values)."""
+    da = pc.floor_temporal(a, unit="day")
+    db = pc.floor_temporal(b, unit="day")
+    diff_us = pc.cast(pc.cast(pc.subtract(db, da), pa.duration("us")), pa.int64())
+    return pc.divide(diff_us, 86_400_000_000)
+
+
+def last_day(ts: pa.Array) -> pa.Array:
+    """LAST_DAY(ts): last calendar day of ts's month (date32)."""
+    import pandas as pd
+
+    s = pd.to_datetime(ts.to_pandas())
+    out = (s + pd.offsets.MonthEnd(0)).dt.normalize().dt.date
+    return pa.array(out, type=pa.date32())

@@ -886,6 +886,86 @@ def backfill_daily_purchase(sf_dir: str):
     )
 
 
+_STRFN_SQL = """
+SELECT c_custkey,
+       substr(c_name, 10, 5) AS name_mid,
+       replace(c_name, '#', '-') AS name_dash,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+       split_part(c_name, '#', 2) AS name_num,
+       upper(c_mktsegment) AS seg_upper,
+       left(c_name, 8) AS name_left,
+       right(c_name, 6) AS name_right,
+       strpos(c_name, '#') AS hash_pos,
+       reverse(c_mktsegment) AS seg_rev,
+       length(c_name) AS name_len
+FROM customer
+"""
+
+
+@register("string_function_surface", _STRFN_SQL)
+def string_function_surface(sf_dir: str):
+    """SUBSTR/REPLACE/LPAD/SPLIT_PART/UPPER/LEFT/RIGHT/STRPOS/REVERSE/
+    LENGTH as vectorized Arrow kernels (functions/sqlfns.py) — the string
+    surface the reference's dialects push to warehouses."""
+    from sous_chef_ray.functions import sqlfns as F
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        name = t["c_name"].combine_chunks()
+        seg = t["c_mktsegment"].combine_chunks()
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "name_mid": F.substr(name, 10, 5),
+            "name_dash": F.replace(name, "#", "-"),
+            "key_pad": F.lpad(pc.cast(t["c_custkey"], pa.string()), 10, "0"),
+            "name_num": F.split_part(name, "#", 2),
+            "seg_upper": F.upper(seg),
+            "name_left": F.left(name, 8),
+            "name_right": F.right(name, 6),
+            "hash_pos": F.strpos(name, "#"),
+            "seg_rev": F.reverse(seg),
+            "name_len": F.length(name),
+        })
+
+    return cust.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DATEFN_SQL = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       o_orderdate + INTERVAL 3 MONTH AS quarter_out,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '2024-06-01') AS BIGINT)
+         AS days_to_cutoff,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+FROM orders
+"""
+
+
+@register("date_function_surface", _DATEFN_SQL)
+def date_function_surface(sf_dir: str):
+    """DATEADD (day + calendar month) / DATEDIFF / LAST_DAY — the date
+    arithmetic the reference's validators recognize (DATEADD/DATEDIFF at
+    validators.py:16), as Arrow/pandas-offset kernels."""
+    from sous_chef_ray.functions import sqlfns as F
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    cutoff = pd.Timestamp("2024-06-01")
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks()
+        cut = pa.array([cutoff] * len(t), type=pa.timestamp("us"))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "due_date": F.dateadd("day", 30, d),
+            "quarter_out": F.dateadd("month", 3, d),
+            "days_to_cutoff": F.datediff_days(d, cut),
+            "month_end": pc.cast(F.last_day(d), pa.timestamp("us")),
+        })
+
+    return orders.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _NTILE_SQL = """
 SELECT user_id, event_id,
        NTILE(4) OVER w AS ntile,
