@@ -886,6 +886,49 @@ def backfill_daily_purchase(sf_dir: str):
     )
 
 
+_RANGEJOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       p.event_id AS purchase_id
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 DAY
+"""
+
+
+@register("clicks_in_purchase_window", _RANGEJOIN_SQL)
+def clicks_in_purchase_window(sf_dir: str):
+    """Interval (range) join: every click inside [purchase, purchase+2d)
+    of the same user — granule-bucketed plan (stages/rangejoin.py: each
+    interval explodes to its coarse granules, points carry one granule,
+    hash equi-join on (key, granule) + exact filter; no per-key cross
+    product, no dedup needed)."""
+    from sous_chef_ray.stages.rangejoin import interval_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({"user_id": t["user_id"], "click_id": t["event_id"],
+                         "click_ts": t["ts"]})
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        end = pc.add(t["ts"], pa.scalar(pd.Timedelta(days=2).to_pytimedelta(),
+                                        type=pa.duration("us")))
+        return pa.table({"user_id": t["user_id"], "purchase_id": t["event_id"],
+                         "win_start": t["ts"], "win_end": end})
+
+    pts = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
+    ivs = ev.map_batches(purchases, batch_format="pyarrow", zero_copy_batch=True)
+    out = interval_join(
+        pts, ivs, key="user_id", point_ts="click_ts",
+        start_ts="win_start", end_ts="win_end",
+        granule=pd.Timedelta(days=2), point_cols=["click_id"],
+        interval_cols=["purchase_id"], num_partitions=8,
+    )
+    return out.select_columns(["user_id", "click_id", "click_ts", "purchase_id"])
+
+
 _STRFN_SQL = """
 SELECT c_custkey,
        substr(c_name, 10, 5) AS name_mid,
