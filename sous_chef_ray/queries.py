@@ -886,6 +886,85 @@ def backfill_daily_purchase(sf_dir: str):
     )
 
 
+@register("approx_distinct_users_per_type")  # sketch aggregate → rows-only
+def approx_distinct_users_per_type(sf_dir: str):
+    """Grouped HyperLogLog as a NATIVE Ray Data aggregate
+    (stages/sketch.HllDistinct, AggregateFnV2): per-block partial
+    registers, register max-merge in the shuffle — approximate
+    COUNT(DISTINCT user_id) per event_type without a distinct shuffle."""
+    from sous_chef_ray.stages.sketch import HllDistinct
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = (
+        ev.groupby("event_type")
+        .aggregate(HllDistinct(on="user_id", p=14, alias_name="approx_users"))
+        .to_pandas()
+    )
+    out["approx_users"] = out["approx_users"].round(1)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+"""
+
+
+@register("frequent_customers", _HAVING_SQL)
+def frequent_customers(sf_dir: str):
+    """GROUP BY ... HAVING — aggregate then a vectorized post-filter."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    agg = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_orders"], 12)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS purchase_cents
+FROM events GROUP BY user_id
+"""
+
+
+@register("event_type_pivot", _PIVOT_SQL)
+def event_type_pivot(sf_dir: str):
+    """Conditional aggregation (SUM(CASE WHEN ...) pivot): indicator
+    columns built per batch (partial pre-aggregation shape), one hash
+    aggregate — the standard wide-to-narrow pivot at scale."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        is_purchase = pc.equal(et, "purchase")
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_clicks": pc.cast(pc.equal(et, "click"), pa.int64()),
+            "n_purchases": pc.cast(is_purchase, pa.int64()),
+            "n_errors": pc.cast(pc.equal(et, "error"), pa.int64()),
+            "purchase_cents": pc.if_else(is_purchase, cents, zero),
+        })
+
+    return (
+        ev.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_clicks", alias_name="n_clicks"),
+            Sum("n_purchases", alias_name="n_purchases"),
+            Sum("n_errors", alias_name="n_errors"),
+            Sum("purchase_cents", alias_name="purchase_cents"),
+        )
+    )
+
+
 _RANGEJOIN_SQL = """
 SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
        p.event_id AS purchase_id

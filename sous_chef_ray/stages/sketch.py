@@ -271,3 +271,58 @@ def theta_sketch_of(ds: "rd.Dataset", col: str, k: int = 4096) -> ThetaSketch:
             other.hashes = np.frombuffer(blob, dtype=np.uint64).copy()
             merged.merge(other)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# HLL as a NATIVE Ray Data grouped aggregate (AggregateFnV2)
+# ---------------------------------------------------------------------------
+
+try:  # AggregateFnV2 is the Ray 2.4x custom-aggregate interface
+    from ray.data.aggregate import AggregateFnV2
+    from ray.data.block import BlockAccessor
+
+    class HllDistinct(AggregateFnV2):
+        """Grouped approximate COUNT DISTINCT as a first-class Ray Data
+        aggregate: per-block partial HLL registers (2^p bytes), register
+        max-merge in ``combine``, estimate in ``finalize`` — the shuffle
+        moves sketches, never values. Usable anywhere a built-in
+        aggregate is: ``ds.groupby(k).aggregate(HllDistinct(on="col"))``."""
+
+        def __init__(self, on: str, p: int = 12, alias_name: str | None = None,
+                     ignore_nulls: bool = True):
+            self._p = p
+            super().__init__(
+                alias_name if alias_name else f"approx_nd({on})",
+                on=on,
+                ignore_nulls=ignore_nulls,
+                zero_factory=lambda: b"",
+            )
+
+        def aggregate_block(self, block) -> bytes:
+            acc = BlockAccessor.for_block(block)
+            tbl = acc.to_arrow()
+            col = tbl[self._target_col_name]
+            h = pd.util.hash_pandas_object(
+                col.to_pandas(), index=False
+            ).to_numpy()
+            sk = HllSketch(self._p)
+            sk.add_hashes(h)
+            return sk.registers.tobytes()
+
+        def combine(self, current: bytes, new: bytes) -> bytes:
+            if not current:
+                return new
+            if not new:
+                return current
+            a = np.frombuffer(current, dtype=np.uint8)
+            b = np.frombuffer(new, dtype=np.uint8)
+            return np.maximum(a, b).tobytes()
+
+        def finalize(self, accumulator: bytes) -> float:
+            sk = HllSketch(self._p)
+            if accumulator:
+                sk.registers = np.frombuffer(accumulator, dtype=np.uint8).copy()
+            return float(sk.estimate())
+
+except ImportError:  # pragma: no cover - older Ray without V2
+    HllDistinct = None

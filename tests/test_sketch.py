@@ -109,3 +109,28 @@ def test_theta_sketch_distributed():
     ds = rd.from_pandas(pd.DataFrame({"u": ids})).repartition(8)
     sk = theta_sketch_of(ds, "u", k=2048)
     assert abs(sk.estimate() - 30_000) / 30_000 < 0.06
+
+
+def test_hll_grouped_aggregate_v2():
+    """HllDistinct as a native Ray Data AggregateFnV2: per-group approx
+    distinct within 5% of exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import HllDistinct
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 60_000),
+        "u": rng.integers(0, 4000, 60_000),
+    })
+    out = (
+        rd.from_pandas(df).repartition(8)
+        .groupby("g").aggregate(HllDistinct(on="u", p=12, alias_name="nd"))
+        .to_pandas()
+    )
+    exact = df.groupby("g")["u"].nunique()
+    for _, r in out.iterrows():
+        e = exact[r["g"]]
+        assert abs(r["nd"] - e) / e < 0.05, (r["g"], r["nd"], e)
