@@ -904,6 +904,28 @@ def approx_distinct_users_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+_EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
+@register("embedding_neardup_pairs", _EMB_NEARDUP_SQL)
+def embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.3, id_a < id_b):
+    broadcast corpus matrix, per-batch matmul, pairs only move
+    (stages/similarity.cosine_pairs_above). Exact vs a DuckDB
+    list_cosine_similarity self-join."""
+    from sous_chef_ray.stages.similarity import cosine_pairs_above
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_pairs_above(emb, 0.3, id_col="vec_id", emb_col="embedding",
+                              concurrency=2)
+
+
 _HAVING_SQL = """
 SELECT o_custkey, COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12

@@ -259,3 +259,55 @@ def knn_ivf(
         filtered, queries, id_col=id_col, emb_col=emb_col,
         qid_col=qid_col, qemb_col=qemb_col, k=k, concurrency=pool(concurrency),
     )
+
+
+def cosine_pairs_above(
+    corpus: "rd.Dataset",
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 6,
+    concurrency: int | tuple = 4,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: all (id_a < id_b) with
+    cosine ≥ threshold — the brute-force baseline for embedding dedup.
+
+    Shape: normalize + ray.put the corpus matrix ONCE; every streaming
+    batch computes its rows × corpus similarities (one matmul) and emits
+    its above-threshold pairs, so the O(n²) similarity work distributes
+    over batches and only pairs move. For corpora too big to broadcast
+    (≫10⁶ rows) use the LSH (`knn_lsh_bucketed`) or IVF cell route to
+    cut candidates first — this is the exact small/medium-corpus path.
+    """
+    all_tbl = pa.concat_tables(
+        corpus.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids = all_tbl[id_col].to_numpy(zero_copy_only=False)
+    m = _emb_matrix(all_tbl, emb_col)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids, m))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.m = ray.get(mat_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bm = _emb_matrix(t, emb_col)
+            bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            bids = t[id_col].to_numpy(zero_copy_only=False)
+            sims = np.round(bm @ self.m.T, round_dp)
+            # id_a < id_b keeps each unordered pair exactly once
+            mask = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
+            ai, bi = np.nonzero(mask)
+            return pa.table({
+                "id_a": pa.array(bids[ai]),
+                "id_b": pa.array(self.ids[bi]),
+                "cosine_sim": pa.array(sims[ai, bi], type=pa.float64()),
+            })
+
+    out = corpus.map_batches(
+        PairFinder, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
