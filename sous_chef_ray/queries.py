@@ -1285,6 +1285,25 @@ def doc_sentences(sf_dir: str):
     return explode_sentences(docs, "doc_id", "text")
 
 
+_BPE_SQL = (
+    "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+    "'" + r"''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+" + "'"
+    ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
+@register("doc_bpe_token_counts", _BPE_SQL)
+def doc_bpe_token_counts(sf_dir: str):
+    """BPE-ish token counting: matches of the GPT-2-style pre-tokenizer
+    regex, one RE2 pass per batch (stages/text.add_bpe_token_count)."""
+    from sous_chef_ray.stages.text import add_bpe_token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_bpe_token_count(docs, "text").select_columns(
+        ["doc_id", "n_bpe_tokens"]
+    )
+
+
 _QUALITY_SQL = r"""
 SELECT doc_id,
        length(regexp_split_to_array(trim(text), '\s+')) AS n_words,

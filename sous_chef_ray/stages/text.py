@@ -244,3 +244,22 @@ def explode_sentences(ds: "rd.Dataset", id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead):
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def add_bpe_token_count(ds: "rd.Dataset", text_col: str = "text",
+                        name: str = "n_bpe_tokens") -> "rd.Dataset":
+    """BPE-ish token count: number of matches of the GPT-2-style
+    pre-tokenizer regex (``pc.count_substring_regex`` — one RE2 pass,
+    matching DuckDB ``length(regexp_extract_all(text, pat))`` exactly).
+    A fast proxy for LLM token budgets without a tokenizer model dep."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], BPE_PAT)
+        return t.append_column(name, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
