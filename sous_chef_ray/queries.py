@@ -1213,6 +1213,20 @@ def doc_token_counts(sf_dir: str):
     )
 
 
+@register("train_val_test_split")  # engine-defined hash → rows-only
+def train_val_test_split(sf_dir: str):
+    """Deterministic leakage-free train/val/test split by doc_id hash
+    (stages/dedup.hash_split): same key → same split across runs and
+    partitionings; per-split doc counts returned."""
+    from sous_chef_ray.stages.dedup import hash_split
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7).to_pandas()
+    counts = out["split"].value_counts().rename_axis("split").reset_index(name="n_docs")
+    return counts.sort_values("split").reset_index(drop=True)
+
+
 @register("pack_training_sequences")  # not SQL-expressible → rows-only
 def pack_training_sequences(sf_dir: str):
     """Sequence packing: tokenize documents → concatenate per block with

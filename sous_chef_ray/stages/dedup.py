@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
 import pandas as pd
 
 import ray.data as rd
@@ -75,3 +76,37 @@ def exact_dedup(
         .groupby(content_cols)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def hash_split(
+    ds: "rd.Dataset",
+    col: str,
+    fractions: dict,
+    name: str = "split",
+    seed: int = 0,
+) -> "rd.Dataset":
+    """Deterministic dataset splitting (train/val/test) by key hash:
+    each row's split depends ONLY on its key value and the seed — stable
+    across runs, partitionings and cluster sizes, and all rows sharing a
+    key (e.g. doc versions) land in the same split (no leakage).
+
+    ``fractions``: {"train": 0.9, "val": 0.05, "test": 0.05} — must sum
+    to ~1. One map_batches pass, no shuffle.
+    """
+    names = list(fractions)
+    bounds = np.cumsum([fractions[n] for n in names])
+    if not 0.999 <= bounds[-1] <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {bounds[-1]}")
+    salt = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            u = (h * salt).astype(np.float64) / float(1 << 64)
+        idx = np.searchsorted(bounds, u, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        df = df.copy()
+        df[name] = np.array(names, dtype=object)[idx]
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -187,3 +187,29 @@ def test_rolling_fingerprint_vectorized_golden():
     for s in ["", "short", "exactly16bytes!!", "a" * 100,
               "".join(chr(rng.integers(32, 1000)) for _ in range(300))]:
         assert rolling_fingerprint_one(s) == scalar(s), repr(s[:20])
+
+
+def test_hash_split_deterministic_and_leakage_free():
+    from sous_chef_ray.stages.dedup import hash_split
+
+    rng = np.random.default_rng(8)
+    # duplicate keys on purpose: versions of a doc must co-assign
+    keys = rng.integers(0, 5000, 20_000)
+    df = pd.DataFrame({"doc_id": keys, "v": rng.integers(0, 3, 20_000)})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(rd.from_pandas(df).repartition(8), "doc_id", fr, seed=1).to_pandas()
+    b = hash_split(rd.from_pandas(df).repartition(3), "doc_id", fr, seed=1).to_pandas()
+    # deterministic across partitionings
+    am = dict(zip(a["doc_id"], a["split"]))
+    bm = dict(zip(b["doc_id"], b["split"]))
+    assert am == bm
+    # no leakage: each key maps to exactly one split
+    assert (a.groupby("doc_id")["split"].nunique() == 1).all()
+    # proportions approximately honored (per unique key)
+    per_key = a.drop_duplicates("doc_id")["split"].value_counts(normalize=True)
+    assert abs(per_key["train"] - 0.8) < 0.03
+    assert abs(per_key["val"] - 0.1) < 0.02
+    # different seed gives a different assignment
+    c = hash_split(rd.from_pandas(df), "doc_id", fr, seed=2).to_pandas()
+    cm = dict(zip(c["doc_id"], c["split"]))
+    assert am != cm
