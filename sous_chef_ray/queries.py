@@ -904,6 +904,47 @@ def approx_distinct_users_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+_STREAMING_SQL = """
+SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+FROM events GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
+"""
+
+
+@register("streaming_tumbling_by_user", _STREAMING_SQL)
+def streaming_tumbling_by_user(sf_dir: str):
+    """Streaming tumbling windows with watermark (stages/streaming.py):
+    events fed in event-time order through sharded stateful window
+    actors; with lateness covering the (zero) disorder the watermark
+    path must reproduce the batch aggregate EXACTLY — verified against
+    the batch SQL oracle."""
+    from sous_chef_ray.stages.streaming import streaming_tumbling_window
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    stream = (
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("ts")
+        .iter_batches(batch_size=4096, batch_format="pyarrow")
+    )
+    out, dropped = streaming_tumbling_window(
+        stream, key_col="user_id", ts_col="ts", value_col="cents",
+        window=pd.Timedelta(hours=6), allowed_lateness=pd.Timedelta(hours=1),
+        num_shards=4,
+    )
+    assert dropped == 0, dropped
+    return out.rename(columns={"sum_value": "sum_value"})[
+        ["user_id", "window_start", "n_events", "sum_value"]
+    ]
+
+
 _EMB_NEARDUP_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,142 @@
+"""Streaming tumbling windows with watermark / bounded out-of-orderness.
+
+The batch engine's streaming escape hatch: a stateful operator that
+consumes an ARRIVAL-ORDERED stream of record batches and emits a window
+aggregate (count + integer sum) for each (key, window) as soon as the
+watermark — ``max event time seen − allowed_lateness`` — passes the
+window's end. Records arriving later than the watermark are DROPPED and
+counted (the standard Flink-style contract).
+
+Two layers:
+
+* ``WatermarkTumblingWindow`` — the pure state machine (dict of open
+  windows, monotone watermark). Unit-testable without Ray.
+* ``streaming_tumbling_window`` — N shard ACTORS (`@ray.remote`), each
+  owning a key-hash shard's state; every arriving batch is split by key
+  hash and pushed to its shard. Per-shard arrival order preserves the
+  source order (Ray actor calls from one caller execute in order), so
+  watermarks advance deterministically per shard. This is the
+  "(b) actor-pool stage holding the needed state" escape hatch — a
+  Dataset can't express unbounded keyed state with emission-on-watermark.
+
+Partitioning assumption: a key's whole stream passes through ONE shard
+(key-hash routing), exactly the co-location the batch operators use.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+class WatermarkTumblingWindow:
+    """Keyed tumbling-window count/sum with a monotone watermark."""
+
+    def __init__(self, window_us: int, lateness_us: int):
+        self.window_us = window_us
+        self.lateness_us = lateness_us
+        self.watermark = np.iinfo(np.int64).min
+        self.open: Dict[Tuple, List] = {}  # (key, win_start) -> [count, sum]
+        self.dropped_late = 0
+
+    def process(self, keys: np.ndarray, ts_us: np.ndarray,
+                vals: np.ndarray) -> List[Tuple]:
+        """Ingest one arrival-ordered batch; returns closed windows as
+        (key, window_start_us, n, total) tuples."""
+        if len(ts_us):
+            # drop records at or before the current watermark (too late)
+            ok = ts_us > self.watermark
+            self.dropped_late += int((~ok).sum())
+            keys, ts_us, vals = keys[ok], ts_us[ok], vals[ok]
+        if len(ts_us):
+            starts = (ts_us // self.window_us) * self.window_us
+            df = pd.DataFrame({"k": keys, "s": starts, "v": vals})
+            agg = df.groupby(["k", "s"], sort=False)["v"].agg(["count", "sum"])
+            for (k, s), row in agg.iterrows():
+                slot = self.open.setdefault((k, int(s)), [0, 0])
+                slot[0] += int(row["count"])
+                slot[1] += int(row["sum"])
+            self.watermark = max(self.watermark, int(ts_us.max()) - self.lateness_us)
+        return self._close()
+
+    def _close(self) -> List[Tuple]:
+        out = []
+        for (k, s) in list(self.open):
+            if s + self.window_us <= self.watermark:
+                n, total = self.open.pop((k, s))
+                out.append((k, s, n, total))
+        return out
+
+    def flush(self) -> List[Tuple]:
+        """End of stream: emit every remaining open window."""
+        out = [(k, s, n, t) for (k, s), (n, t) in self.open.items()]
+        self.open.clear()
+        return out
+
+
+@ray.remote
+class _WindowShard:
+    def __init__(self, window_us: int, lateness_us: int):
+        self.state = WatermarkTumblingWindow(window_us, lateness_us)
+
+    def process(self, keys, ts_us, vals):
+        return self.state.process(
+            np.asarray(keys), np.asarray(ts_us), np.asarray(vals)
+        )
+
+    def flush(self):
+        return self.state.flush(), self.state.dropped_late
+
+
+def streaming_tumbling_window(
+    batches,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: pd.Timedelta,
+    allowed_lateness: pd.Timedelta,
+    num_shards: int = 4,
+) -> Tuple[pd.DataFrame, int]:
+    """Drive an iterable of pyarrow batches (arrival order) through
+    ``num_shards`` stateful window actors. Returns (result frame with
+    key/window_start/n_events/sum_value — closed + end-of-stream flush —ordered
+    by key then window, total dropped-late count)."""
+    window_us = int(pd.Timedelta(window).value // 1000)
+    lateness_us = int(pd.Timedelta(allowed_lateness).value // 1000)
+    shards = [
+        _WindowShard.remote(window_us, lateness_us) for _ in range(num_shards)
+    ]
+    pending = []
+    for batch in batches:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].combine_chunks() if isinstance(
+            batch[ts_col], pa.ChunkedArray) else batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
+        shard_of = (h % np.uint64(num_shards)).astype(np.int64)
+        for s in range(num_shards):
+            m = shard_of == s
+            if m.any():
+                pending.append(shards[s].process.remote(keys[m], ts_us[m], vals[m]))
+    rows: List[Tuple] = []
+    for part in ray.get(pending):
+        rows.extend(part)
+    dropped = 0
+    for flushed, d in ray.get([s.flush.remote() for s in shards]):
+        rows.extend(flushed)
+        dropped += d
+    out = pd.DataFrame(rows, columns=[key_col, "window_start_us", "n_events",
+                                      "sum_value"])
+    out["window_start"] = pd.to_datetime(out["window_start_us"], unit="us")
+    out = out.drop(columns=["window_start_us"]).sort_values(
+        [key_col, "window_start"]).reset_index(drop=True)
+    return out, dropped

@@ -1,0 +1,95 @@
+"""Streaming tumbling windows with watermark (stages/streaming.py):
+batch-equivalence when nothing is too late, late-drop semantics,
+incremental emission, shard-count invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from sous_chef_ray.stages.streaming import (
+    WatermarkTumblingWindow,
+    streaming_tumbling_window,
+)
+
+
+def _mk_batches(df, batch_rows=100):
+    tbl = pa.table({
+        "k": pa.array(df["k"].to_numpy(dtype=object), type=pa.string()),
+        "ts": pa.array(pd.to_datetime(df["ts"]), type=pa.timestamp("us")),
+        "v": pa.array(df["v"].to_numpy(np.int64)),
+    })
+    return [tbl.slice(i, batch_rows) for i in range(0, len(tbl), batch_rows)]
+
+
+def _batch_oracle(df, window):
+    start = pd.to_datetime(df["ts"]).dt.floor(window)
+    g = df.assign(window_start=start).groupby(["k", "window_start"])["v"]
+    out = g.agg(n_events="count", sum_value="sum").reset_index()
+    return out.sort_values(["k", "window_start"]).reset_index(drop=True)
+
+
+def test_matches_batch_when_in_order():
+    rng = np.random.default_rng(4)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 86_400, n)), unit="s"),
+        "v": rng.integers(0, 100, n),
+    })
+    got, dropped = streaming_tumbling_window(
+        _mk_batches(df), key_col="k", ts_col="ts", value_col="v",
+        window=pd.Timedelta(hours=1), allowed_lateness=pd.Timedelta(0),
+        num_shards=3,
+    )
+    exp = _batch_oracle(df, "1h")
+    assert dropped == 0
+    pd.testing.assert_frame_equal(
+        got[["k", "window_start", "n_events", "sum_value"]],
+        exp[["k", "window_start", "n_events", "sum_value"]],
+        check_dtype=False,
+    )
+
+
+def test_bounded_out_of_order_tolerated_and_late_dropped():
+    sm = WatermarkTumblingWindow(window_us=60_000_000, lateness_us=30_000_000)
+    base = 1_700_000_000_000_000
+    k = np.array(["x"], dtype=object)
+    # in-order record at t=100s
+    closed = sm.process(k, np.array([base + 100_000_000]), np.array([1]))
+    assert closed == []
+    # 20s-late record (within 30s lateness) is accepted
+    closed = sm.process(k, np.array([base + 80_000_000]), np.array([2]))
+    assert sm.dropped_late == 0
+    # advance far: watermark passes old windows -> they close
+    closed = sm.process(k, np.array([base + 400_000_000]), np.array([5]))
+    starts = {c[1] for c in closed}
+    assert (base // 60_000_000 * 60_000_000 + 60_000_000) in starts
+    # ancient record (far behind watermark) is dropped and counted
+    sm.process(k, np.array([base]), np.array([9]))
+    assert sm.dropped_late == 1
+    # flush emits the still-open tail window
+    tail = sm.flush()
+    assert any(c[2] == 1 and c[3] == 5 for c in tail)
+
+
+def test_shard_count_invariance():
+    rng = np.random.default_rng(6)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.choice([f"u{i}" for i in range(20)], n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 40_000, n)), unit="s"),
+        "v": rng.integers(0, 10, n),
+    })
+    a, _ = streaming_tumbling_window(
+        _mk_batches(df), key_col="k", ts_col="ts", value_col="v",
+        window=pd.Timedelta(minutes=30), allowed_lateness=pd.Timedelta(minutes=5),
+        num_shards=1,
+    )
+    b, _ = streaming_tumbling_window(
+        _mk_batches(df), key_col="k", ts_col="ts", value_col="v",
+        window=pd.Timedelta(minutes=30), allowed_lateness=pd.Timedelta(minutes=5),
+        num_shards=6,
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
