@@ -904,6 +904,54 @@ def approx_distinct_users_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_rollup", _ROLLUP_SQL)
+def lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(a, b): the three aggregation levels — (a,b), (a),
+    grand total — computed as three groupbys over one pre-aggregated
+    (a,b) base (the finest level re-aggregates, so the raw table streams
+    ONCE) and unioned with typed-null padding."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                             pa.int64()),
+        })
+
+    base = (
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="price_cents"))
+        .to_pandas()
+    )
+    lvl1 = (
+        base.groupby("l_returnflag", as_index=False)[["n", "price_cents"]].sum()
+    )
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "n": [base["n"].sum()], "price_cents": [base["price_cents"].sum()],
+    })
+    out = pd.concat(
+        [base, lvl1, total], ignore_index=True
+    )[["l_returnflag", "l_linestatus", "n", "price_cents"]]
+    out["n"] = out["n"].astype("int64")
+    out["price_cents"] = out["price_cents"].astype("int64")
+    return out
+
+
 _STREAMING_SQL = """
 SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
