@@ -1407,6 +1407,29 @@ def doc_bpe_token_counts(sf_dir: str):
     )
 
 
+_REPETITION_SQL = r"""
+SELECT doc_id,
+       1.0 - CAST(length(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+           / length(string_split(text, chr(10))) AS dup_line_fraction,
+       1.0 - CAST(length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+           / length(regexp_split_to_array(trim(text), '\s+')) AS dup_word_fraction
+FROM documents
+"""
+
+
+@register("doc_repetition_scores", _REPETITION_SQL)
+def doc_repetition_scores(sf_dir: str):
+    """Gopher-style repetition gates: duplicate-line and duplicate-word
+    fractions per doc (stages/text.add_repetition_scores — one split +
+    one hash pass + per-doc distinct counts, fully vectorized)."""
+    from sous_chef_ray.stages.text import add_repetition_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_repetition_scores(docs, "text").select_columns(
+        ["doc_id", "dup_line_fraction", "dup_word_fraction"]
+    )
+
+
 _QUALITY_SQL = r"""
 SELECT doc_id,
        length(regexp_split_to_array(trim(text), '\s+')) AS n_words,

@@ -263,3 +263,39 @@ def add_bpe_token_count(ds: "rd.Dataset", text_col: str = "text",
         return t.append_column(name, pc.cast(n, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_repetition_scores(ds: "rd.Dataset", text_col: str = "text") -> "rd.Dataset":
+    """Gopher-style repetition quality gates: duplicate-LINE fraction and
+    duplicate-WORD fraction per document. Vectorized: one split, one
+    flattened hash pass, per-doc distinct counts via np.unique over
+    (doc, hash) pairs — no Python loop over rows."""
+
+    def counts(flat: pa.Array, lens: np.ndarray, n_docs: int) -> np.ndarray:
+        h = pd.util.hash_pandas_object(flat.to_pandas(), index=False).to_numpy()
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        pairs = np.stack([doc_idx, h.astype(np.int64)], axis=1)
+        uniq = np.unique(pairs, axis=0)
+        return np.bincount(uniq[:, 0].astype(np.intp), minlength=n_docs)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        lines = pc.split_pattern(t[text_col].combine_chunks(), "\n")
+        line_lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        uniq_lines = counts(lines.flatten(), line_lens, n)
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t[text_col]), _WS
+        ).combine_chunks()
+        word_lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        uniq_words = counts(words.flatten(), word_lens, n)
+        t = t.append_column(
+            "dup_line_fraction",
+            pa.array(1.0 - uniq_lines / np.maximum(line_lens, 1), type=pa.float64()),
+        )
+        t = t.append_column(
+            "dup_word_fraction",
+            pa.array(1.0 - uniq_words / np.maximum(word_lens, 1), type=pa.float64()),
+        )
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
