@@ -1302,6 +1302,23 @@ def doc_token_counts(sf_dir: str):
     )
 
 
+@register("lm_quality_scores")  # model scoring → rows-only
+def lm_quality_scores(sf_dir: str):
+    """Bigram-LM quality scoring: the model trains on the corpus itself
+    (distributed gram counting → one groupby-sum → bounded top-K model),
+    broadcasts once, and every doc gets a mean-NLL fluency score
+    (stages/lm.py — the KenLM-style filter shape with no external data)."""
+    from sous_chef_ray.stages.lm import score_nll, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = train_bigram_lm(docs, "text", max_vocab=30_000, max_bigrams=200_000)
+    out = score_nll(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), model, "text"
+    ).select_columns(["doc_id", "lm_nll"]).to_pandas()
+    out["lm_nll"] = out["lm_nll"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 @register("train_val_test_split")  # engine-defined hash → rows-only
 def train_val_test_split(sf_dir: str):
     """Deterministic leakage-free train/val/test split by doc_id hash
