@@ -904,6 +904,72 @@ def approx_distinct_users_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+_PROFILE_SQL = """
+SELECT 'l_quantity' AS col,
+       MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', MIN(l_discount), MAX(l_discount),
+       CAST(COUNT(l_discount) AS BIGINT),
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', MIN(l_tax), MAX(l_tax),
+       CAST(COUNT(l_tax) AS BIGINT),
+       CAST(COUNT(DISTINCT l_tax) AS BIGINT)
+FROM lineitem
+"""
+
+
+@register("lineitem_profile", _PROFILE_SQL)
+def lineitem_profile(sf_dir: str):
+    """Column profiling (describe): min/max/non-null/distinct per column
+    in ONE streaming pass — per-batch partial stats (including per-batch
+    distinct sets for exact low-cardinality distinct counts) merged on
+    the driver; the profile is bytes-bounded regardless of table size."""
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            a = t[c]
+            rows.append({
+                "col": c,
+                "min_v": pc.min(a).as_py(),
+                "max_v": pc.max(a).as_py(),
+                "n_nonnull": len(a) - a.null_count,
+                "distinct_vals": pc.unique(a.combine_chunks()).to_pylist(),
+            })
+        return pa.table({
+            "col": pa.array([r["col"] for r in rows]),
+            "min_v": pa.array([r["min_v"] for r in rows], type=pa.float64()),
+            "max_v": pa.array([r["max_v"] for r in rows], type=pa.float64()),
+            "n_nonnull": pa.array([r["n_nonnull"] for r in rows], type=pa.int64()),
+            "distinct_vals": pa.array([r["distinct_vals"] for r in rows],
+                                      type=pa.list_(pa.float64())),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = []
+    for c in cols:
+        sub = parts[parts["col"] == c]
+        distinct = set()
+        for vals in sub["distinct_vals"]:
+            distinct.update(float(v) for v in vals)
+        out.append({
+            "col": c,
+            "min_v": float(sub["min_v"].min()),
+            "max_v": float(sub["max_v"].max()),
+            "n_nonnull": int(sub["n_nonnull"].sum()),
+            "n_distinct": len(distinct),
+        })
+    return pd.DataFrame(out)
+
+
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,
