@@ -926,9 +926,10 @@ FROM lineitem
 @register("lineitem_profile", _PROFILE_SQL)
 def lineitem_profile(sf_dir: str):
     """Column profiling (describe): min/max/non-null/distinct per column
-    in ONE streaming pass — per-batch partial stats (including per-batch
-    distinct sets for exact low-cardinality distinct counts) merged on
-    the driver; the profile is bytes-bounded regardless of table size."""
+    in ONE streaming pass — per-batch partial stats merged on the driver.
+    Exact distinct via per-batch value sets is right for LOW-cardinality
+    columns (bounded by cardinality, not table size); for high-cardinality
+    columns swap in the mergeable HLL (`stages.sketch.HllDistinct`)."""
     cols = ["l_quantity", "l_discount", "l_tax"]
     li = _read(sf_dir, "lineitem", columns=cols)
 
@@ -1393,9 +1394,11 @@ def train_val_test_split(sf_dir: str):
     from sous_chef_ray.stages.dedup import hash_split
 
     docs = _read(sf_dir, "documents", columns=["doc_id"])
-    out = hash_split(docs, "doc_id",
-                     {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7).to_pandas()
-    counts = out["split"].value_counts().rename_axis("split").reset_index(name="n_docs")
+    split_ds = hash_split(docs, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    counts = (
+        split_ds.groupby("split").aggregate(Count(alias_name="n_docs")).to_pandas()
+    )
     return counts.sort_values("split").reset_index(drop=True)
 
 
