@@ -67,15 +67,30 @@ def train_bigram_lm(
 
     from ray.data.aggregate import Sum
 
-    counts = (
+    counts_ds = (
         ds.map_batches(gram_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gram")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
     )
-    kinds = counts["gram"].str.slice(0, 1)
-    uni = counts[kinds == "u"].nlargest(max_vocab, "n")
-    big = counts[kinds == "b"].nlargest(max_bigrams, "n")
+
+    def top(kind: str, k: int) -> pd.DataFrame:
+        # top-K happens IN the cluster (filter → sort → limit); only the
+        # bounded model rows reach the driver — at web scale the distinct
+        # bigram table is itself huge
+        return (
+            counts_ds.map_batches(
+                lambda t, kk=kind: t.filter(
+                    pc.equal(pc.utf8_slice_codeunits(t["gram"], 0, 1), kk)
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .sort("n", descending=True)
+            .limit(k)
+            .to_pandas()
+        )
+
+    uni = top("u", max_vocab)
+    big = top("b", max_bigrams)
     unigrams = {g[2:]: int(n) for g, n in zip(uni["gram"], uni["n"])}
     bigrams = {g[2:]: int(n) for g, n in zip(big["gram"], big["n"])}
     total = sum(unigrams.values())
