@@ -13,3 +13,28 @@ def pool(concurrency):
     if isinstance(concurrency, int):
         return (1, max(1, concurrency))
     return concurrency
+
+
+def nul_safe_key_strings(arr):
+    """Return a NUL-free equivalent of an Arrow string array for hashing.
+
+    ``pd.util.hash_pandas_object`` is NOT value-deterministic for python
+    strs with embedded ``\\x00`` (its C fast path truncates at the NUL,
+    its fallback does not, and which one runs depends on the array's
+    other values — see stages/salt.py). Bytes values hash fine; only str
+    keys need this. The escape (\\x1f→\\x1fE, \\x00→\\x1fZ) is injective,
+    so distinct keys stay distinct; the (cheap, one C pass) detection
+    skips the rewrite entirely for NUL-free columns — the common case.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        return arr
+    n_nul = pc.sum(pc.count_substring(arr, "\x00")).as_py() or 0
+    if not n_nul:
+        return arr
+    esc = pc.replace_substring(arr, "\x1f", "\x1fE")
+    return pc.replace_substring(esc, "\x00", "\x1fZ")

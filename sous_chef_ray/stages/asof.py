@@ -431,8 +431,16 @@ def asof_join_broadcast(
 
 
 def _key_hash(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
-    """Deterministic uint64 hash of a key column → bucket ids (vectorized)."""
-    vals = arr.to_pandas() if isinstance(arr, (pa.ChunkedArray, pa.Array)) else arr
+    """Deterministic uint64 hash of a key column → bucket ids (vectorized).
+    NUL-containing string keys are escaped first — hash_pandas_object is
+    not value-deterministic on them (see stages/_util.nul_safe_key_strings)."""
+    from sous_chef_ray.stages._util import nul_safe_key_strings
+
+    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
+        arr = nul_safe_key_strings(arr)
+        vals = arr.to_pandas()
+    else:
+        vals = arr
     h = pd.util.hash_pandas_object(pd.Series(vals), index=False).to_numpy()
     return (h % np.uint64(num_buckets)).astype(np.int64)
 

@@ -12,6 +12,14 @@ backfill at 10^12 rows: the shuffle moves each row once to its bucket,
 buckets stream independently, and skewed keys can be pre-salted
 (stages/salt.py) before bucketing. num_buckets should be sized so a
 bucket fits in a worker's heap (rows/num_buckets × row width).
+
+NUL caveat: BUCKETING is safe for string keys with embedded ``\\x00``
+(keys are escaped before hashing — see _util.nul_safe_key_strings and
+the determinism bug it works around), and the ARROW path's per-bucket
+kernels compare keys by value (numpy equality) so they are NUL-safe
+end-to-end. A pandas ``df.groupby`` INSIDE a caller-supplied pandas-path
+``fn`` is NOT — pandas' string hashtable truncates at NULs and silently
+merges such groups; use ``batch_format="pyarrow"`` for NUL-capable keys.
 """
 
 from __future__ import annotations
@@ -54,9 +62,29 @@ def auto_num_buckets(
     return max(min_buckets, min(max_buckets, math.ceil(eff / target_bucket_bytes)))
 
 
+def _nul_safe_series(s: pd.Series) -> pd.Series:
+    """hash_pandas_object is not value-deterministic for strs with
+    embedded NULs (stages/_util.nul_safe_key_strings); escape when a
+    string column contains any."""
+    if s.dtype == object:
+        import pyarrow as pa
+
+        from sous_chef_ray.stages._util import nul_safe_key_strings
+
+        try:
+            arr = pa.array(s, type=pa.string())
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return s
+        safe = nul_safe_key_strings(arr)
+        if safe is not arr:
+            return safe.to_pandas()
+    return s
+
+
 def add_bucket(df: pd.DataFrame, keys: List[str], num_buckets: int) -> pd.DataFrame:
     h = pd.util.hash_pandas_object(
-        df[keys[0]] if len(keys) == 1 else df[keys].apply(tuple, axis=1),
+        _nul_safe_series(df[keys[0]]) if len(keys) == 1
+        else df[keys].apply(tuple, axis=1),
         index=False,
     ).to_numpy()
     df = df.copy()
@@ -88,8 +116,12 @@ def partition_apply(
         import pyarrow as pa
 
         def tag_arrow(t: "pa.Table") -> "pa.Table":
+            from sous_chef_ray.stages._util import nul_safe_key_strings
+
             h = pd.util.hash_pandas_object(
-                pd.Series(t[keys[0]].to_numpy(zero_copy_only=False))
+                pd.Series(
+                    nul_safe_key_strings(t[keys[0]]).to_numpy(zero_copy_only=False)
+                )
                 if len(keys) == 1
                 else pd.Series(
                     list(zip(*[t[k].to_numpy(zero_copy_only=False) for k in keys]))

@@ -125,3 +125,40 @@ def test_auto_num_buckets_scales_linearly():
     assert auto_num_buckets(None) == 64  # unknown size fallback
     assert auto_num_buckets(1) == 8      # floor
     assert auto_num_buckets(1 << 60) == 1 << 20  # ceiling
+
+
+def test_nul_keys_bucket_deterministically():
+    """String keys with embedded NULs must hash to the same bucket in
+    every batch (hash_pandas_object alone is context-dependent on them)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.partition import partition_apply
+
+    keys = ["hot\x000", "hot\x001", "cold", "hot\x000", "hot\x001"] * 40
+    df = pd.DataFrame({"k": keys, "v": np.arange(len(keys))})
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = pc.unique(t["k"].combine_chunks())
+        return pa.table({"k": ks, "n": pa.array(
+            [pc.sum(pc.cast(pc.equal(t["k"], x), pa.int64())).as_py() for x in ks],
+            type=pa.int64())})
+
+    out = partition_apply(
+        rd.from_pandas(df).repartition(5), "k", count_rows, num_buckets=8,
+        batch_format="pyarrow",
+    ).to_pandas()
+    # each key appears in exactly ONE bucket -> exactly one output row per
+    # key. NB: checked with python-native dicts — pandas' own groupby
+    # hashtable NUL-truncates object strings (same bug class).
+    from collections import Counter
+
+    occurrences = Counter(out["k"])
+    assert all(v == 1 for v in occurrences.values()), out.to_dict()
+    sums = dict(zip(out["k"], out["n"]))
+    assert sums["hot\x000"] == 80 and sums["hot\x001"] == 80
+    assert sums["cold"] == 40
