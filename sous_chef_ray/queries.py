@@ -1060,6 +1060,55 @@ def streaming_tumbling_by_user(sf_dir: str):
     ]
 
 
+_STREAM_SESSION_SQL = """
+WITH lagd AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM lagd)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("streaming_sessions_by_user", _STREAM_SESSION_SQL)
+def streaming_sessions_by_user(sf_dir: str):
+    """STREAMING gap-sessionization with watermark + session merging
+    (stages/streaming.WatermarkSessionWindow, sharded actors): with the
+    stream fed in event-time order the closed+flushed sessions must
+    equal the batch sessionization aggregate EXACTLY (SQL oracle)."""
+    from sous_chef_ray.stages.streaming import streaming_session_window
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    stream = (
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("ts")
+        .iter_batches(batch_size=4096, batch_format="pyarrow")
+    )
+    out, dropped = streaming_session_window(
+        stream, key_col="user_id", ts_col="ts", value_col="cents",
+        gap=pd.Timedelta(minutes=30), allowed_lateness=pd.Timedelta(minutes=5),
+        num_shards=4,
+    )
+    assert dropped == 0, dropped
+    return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+
 _EMB_NEARDUP_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

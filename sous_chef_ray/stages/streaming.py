@@ -140,3 +140,136 @@ def streaming_tumbling_window(
     out = out.drop(columns=["window_start_us"]).sort_values(
         [key_col, "window_start"]).reset_index(drop=True)
     return out, dropped
+
+
+class WatermarkSessionWindow:
+    """Keyed SESSION windows with watermark: a record joins a session when
+    it lands within ``gap`` of the session's span; a bridging record
+    MERGES the sessions it connects (the Flink session-merge contract).
+    Sessions close when ``max_ts + gap`` falls at or behind the watermark;
+    records at/behind the watermark are dropped and counted."""
+
+    def __init__(self, gap_us: int, lateness_us: int):
+        self.gap_us = gap_us
+        self.lateness_us = lateness_us
+        self.watermark = np.iinfo(np.int64).min
+        # key -> list of [min_ts, max_ts, count, total], kept sorted by min_ts
+        self.open: Dict = {}
+        self.dropped_late = 0
+
+    def _insert(self, k, ts: int, v: int) -> None:
+        sessions = self.open.setdefault(k, [])
+        joined = None
+        remaining = []
+        for s in sessions:
+            if s[0] - self.gap_us <= ts <= s[1] + self.gap_us:
+                if joined is None:
+                    joined = s
+                else:  # bridging record: merge s into joined
+                    joined[0] = min(joined[0], s[0])
+                    joined[1] = max(joined[1], s[1])
+                    joined[2] += s[2]
+                    joined[3] += s[3]
+                    continue
+            remaining.append(s)
+        if joined is None:
+            joined = [ts, ts, 0, 0]
+            remaining.append(joined)
+        joined[0] = min(joined[0], ts)
+        joined[1] = max(joined[1], ts)
+        joined[2] += 1
+        joined[3] += int(v)
+        remaining.sort(key=lambda s: s[0])
+        self.open[k] = remaining
+
+    def process(self, keys: np.ndarray, ts_us: np.ndarray,
+                vals: np.ndarray) -> List[Tuple]:
+        if len(ts_us):
+            ok = ts_us > self.watermark
+            self.dropped_late += int((~ok).sum())
+            keys, ts_us, vals = keys[ok], ts_us[ok], vals[ok]
+        for k, ts, v in zip(keys, ts_us, vals):
+            self._insert(k, int(ts), v)
+        if len(ts_us):
+            self.watermark = max(self.watermark, int(ts_us.max()) - self.lateness_us)
+        out = []
+        for k in list(self.open):
+            still = []
+            for s in self.open[k]:
+                if s[1] + self.gap_us <= self.watermark:
+                    out.append((k, s[0], s[1], s[2], s[3]))
+                else:
+                    still.append(s)
+            if still:
+                self.open[k] = still
+            else:
+                del self.open[k]
+        return out
+
+    def flush(self) -> List[Tuple]:
+        out = [
+            (k, s[0], s[1], s[2], s[3])
+            for k, ss in self.open.items() for s in ss
+        ]
+        self.open.clear()
+        return out
+
+
+@ray.remote
+class _SessionShard:
+    def __init__(self, gap_us: int, lateness_us: int):
+        self.state = WatermarkSessionWindow(gap_us, lateness_us)
+
+    def process(self, keys, ts_us, vals):
+        return self.state.process(
+            np.asarray(keys), np.asarray(ts_us), np.asarray(vals)
+        )
+
+    def flush(self):
+        return self.state.flush(), self.state.dropped_late
+
+
+def streaming_session_window(
+    batches,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    gap: pd.Timedelta,
+    allowed_lateness: pd.Timedelta,
+    num_shards: int = 4,
+) -> Tuple[pd.DataFrame, int]:
+    """Sharded streaming gap-sessionization: one row per closed (or
+    flushed) session with its span, event count and value sum."""
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+    lateness_us = int(pd.Timedelta(allowed_lateness).value // 1000)
+    shards = [_SessionShard.remote(gap_us, lateness_us) for _ in range(num_shards)]
+    pending = []
+    for batch in batches:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].combine_chunks() if isinstance(
+            batch[ts_col], pa.ChunkedArray) else batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
+        shard_of = (h % np.uint64(num_shards)).astype(np.int64)
+        for s in range(num_shards):
+            m = shard_of == s
+            if m.any():
+                pending.append(shards[s].process.remote(keys[m], ts_us[m], vals[m]))
+    rows: List[Tuple] = []
+    for part in ray.get(pending):
+        rows.extend(part)
+    dropped = 0
+    for flushed, d in ray.get([s.flush.remote() for s in shards]):
+        rows.extend(flushed)
+        dropped += d
+    out = pd.DataFrame(rows, columns=[key_col, "session_start_us",
+                                      "session_end_us", "n_events", "sum_value"])
+    out["session_start"] = pd.to_datetime(out["session_start_us"], unit="us")
+    out["session_end"] = pd.to_datetime(out["session_end_us"], unit="us")
+    out = out.drop(columns=["session_start_us", "session_end_us"]).sort_values(
+        [key_col, "session_start"]).reset_index(drop=True)
+    return out, dropped

@@ -93,3 +93,61 @@ def test_shard_count_invariance():
         num_shards=6,
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_session_streaming_matches_batch_sessionize():
+    """In-order stream + flush must reproduce batch gap-sessionization
+    (session spans and per-session counts)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.session import sessionize
+    from sous_chef_ray.stages.streaming import streaming_session_window
+
+    rng = np.random.default_rng(12)
+    n = 2500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 200_000, n)), unit="s"),
+        "v": rng.integers(0, 10, n),
+    }).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    got, dropped = streaming_session_window(
+        _mk_batches(df), key_col="k", ts_col="ts", value_col="v",
+        gap=pd.Timedelta(minutes=30), allowed_lateness=pd.Timedelta(0),
+        num_shards=3,
+    )
+    assert dropped == 0
+    batch = sessionize(
+        rd.from_pandas(df), "k", "ts", gap=pd.Timedelta(minutes=30),
+        num_buckets=4,
+    ).to_pandas()
+    exp = (
+        batch.groupby(["k", "session_id"])
+        .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+             n_events=("ts", "count"), sum_value=("v", "sum"))
+        .reset_index().sort_values(["k", "session_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "session_start", "session_end", "n_events", "sum_value"]],
+        exp[["k", "session_start", "session_end", "n_events", "sum_value"]],
+        check_dtype=False,
+    )
+
+
+def test_session_bridging_merge():
+    """A late-but-allowed record that bridges two open sessions merges
+    them into one."""
+    from sous_chef_ray.stages.streaming import WatermarkSessionWindow
+
+    sm = WatermarkSessionWindow(gap_us=10_000_000, lateness_us=60_000_000)
+    base = 1_700_000_000_000_000
+    k = np.array(["x"], dtype=object)
+    sm.process(k, np.array([base]), np.array([1]))             # session A
+    sm.process(k, np.array([base + 15_000_000]), np.array([2]))  # session B (gap 15s > 10s)
+    assert len(sm.open["x"]) == 2
+    # bridging record at +7s: within 10s of both spans -> merge
+    sm.process(k, np.array([base + 7_000_000]), np.array([4]))
+    assert len(sm.open["x"]) == 1
+    s = sm.open["x"][0]
+    assert s[2] == 3 and s[3] == 7 and s[0] == base and s[1] == base + 15_000_000
