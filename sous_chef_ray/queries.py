@@ -1853,17 +1853,21 @@ def knn_ivf_top5(sf_dir: str):
     return out[["qid", "neighbor_id", "cosine_sim"]]
 
 
-@register("multimodal_decode")  # stubbed decode → rows-only
+@register("multimodal_decode")  # binary decode → rows-only
 def multimodal_decode(sf_dir: str):
     """Binary media column → per-image feature rows via the actor-pool
-    decode stage (deterministic fake decode; real codec is the stub
-    boundary — stages/multimodal)."""
+    decode stage, now with a REAL decode path: payloads are genuine PNG
+    files decoded to exact pixels by the pure-stdlib codec
+    (stages/png.py); pixel stats + 32×32 thumbnails are true values.
+    Codecs absent from this container (JPEG/audio/video) remain the
+    declared NotImplementedError boundary."""
     import ray.data as rd
 
-    from sous_chef_ray.stages.multimodal import decode_images, synth_image_table
+    from sous_chef_ray.stages.multimodal import decode_images, synth_png_table
 
-    imgs = rd.from_arrow(synth_image_table(512, seed=42))
-    return decode_images(imgs, fake=True, concurrency=2, batch_size=64)
+    imgs = rd.from_arrow(synth_png_table(256, seed=42))
+    out = decode_images(imgs, fake=False, concurrency=2, batch_size=32)
+    return out.drop_columns(["thumbnail"])  # driver hash: keep scalar cols
 
 
 _DERIVED_SQL = """

@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Ray-side plumbing (schema, actor-pool signature, small batch sizes for
-wide binary rows, output layout) is real and tested; the actual codec work
-is STUBBED because no image/audio libraries exist in this container —
-``decode_images(..., fake=True)`` produces a deterministic fake decode
-(shape + checksum features) and ``fake=False`` raises NotImplementedError
-at the exact point a real decoder (Pillow/libvips/ffmpeg) would plug in.
+Image decode is REAL for PNG: ``stages/png.py`` is a pure-stdlib
+(zlib + numpy) PNG codec, so ``decode_images(..., fake=False)`` decodes
+genuine PNG payloads to exact pixels and emits true pixel statistics +
+thumbnails with zero external dependencies. Other codecs (JPEG, audio,
+video) remain a declared stub: ``mime`` values without a decoder raise
+NotImplementedError at the exact plug-in point (Pillow/libvips/ffmpeg).
+``fake=True`` keeps the deterministic byte-stream fake for tests that
+don't care about pixels.
 
 Design notes for 100 TB: binary payloads dominate block size — these
 stages run with small ``batch_size`` and ``target_max_block_size`` should
@@ -54,39 +56,67 @@ def synth_image_table(n: int, seed: int = 42) -> pa.Table:
 
 
 class DecodeImages:
-    """Actor-pool decode stage. Real decoder wiring goes in __init__
+    """Actor-pool decode stage. Decoder wiring goes in __init__
     (codec/model load happens once per actor); __call__ handles a small
-    batch of binary rows and emits fixed-width feature columns."""
+    batch of binary rows and emits fixed-width feature columns.
+
+    ``fake=False``: real decode — PNG payloads (mime image/png) through
+    the pure-stdlib codec in stages/png.py; any other mime raises
+    NotImplementedError (the declared stub boundary for codecs this
+    container lacks). ``fake=True``: deterministic byte-stream fake."""
 
     def __init__(self, fake: bool = True, resize_to: int = 32):
         self.fake = fake
         self.resize_to = resize_to
         if not fake:
-            raise NotImplementedError(
-                "No image codec in this environment. Plug Pillow/libvips here: "
-                "self.decode = PIL.Image.open; keep __call__ unchanged."
-            )
+            from sous_chef_ray.stages.png import decode_png, nn_resize
+
+            self.decoders = {"image/png": decode_png}
+            self.resize = nn_resize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.zeros((len(payloads), 4), dtype=np.float64)
+        mimes = batch["mime"].to_pylist()
+        n = len(payloads)
+        feats = np.zeros((n, 4), dtype=np.float64)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
         checksums = []
-        for i, p in enumerate(payloads):
-            digest = hashlib.sha1(p).digest()
-            checksums.append(digest.hex())
-            # deterministic fake "pixel statistics" from the byte stream
-            arr = np.frombuffer(p, dtype=np.uint8)
-            feats[i] = [arr.mean(), arr.std(), arr.min(), arr.max()] if len(arr) else [0, 0, 0, 0]
+        thumbs: list = []
+        for i, (p, mime) in enumerate(zip(payloads, mimes)):
+            checksums.append(hashlib.sha1(p).digest().hex())
+            if self.fake:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                feats[i] = (
+                    [arr.mean(), arr.std(), arr.min(), arr.max()]
+                    if len(arr) else [0, 0, 0, 0]
+                )
+                widths[i] = batch["width"][i].as_py()
+                heights[i] = batch["height"][i].as_py()
+                thumbs.append(b"")
+                continue
+            dec = self.decoders.get(mime)
+            if dec is None:
+                raise NotImplementedError(
+                    f"no decoder for {mime!r} in this environment; plug "
+                    "Pillow/libvips/ffmpeg into DecodeImages.decoders"
+                )
+            img = dec(p)
+            px = img.astype(np.float64)
+            feats[i] = [px.mean(), px.std(), px.min(), px.max()]
+            heights[i], widths[i] = img.shape[0], img.shape[1]
+            thumbs.append(self.resize(img, self.resize_to).tobytes())
         out = pa.table(
             {
                 "media_id": batch["media_id"],
-                "width": batch["width"],
-                "height": batch["height"],
+                "width": pa.array(widths),
+                "height": pa.array(heights),
                 "checksum": pa.array(checksums, type=pa.string()),
                 "mean_px": pa.array(feats[:, 0]),
                 "std_px": pa.array(feats[:, 1]),
                 "min_px": pa.array(feats[:, 2]),
                 "max_px": pa.array(feats[:, 3]),
+                "thumbnail": pa.array(thumbs, type=pa.large_binary()),
             }
         )
         return out
@@ -141,3 +171,28 @@ def sample_frames(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
         concurrency=cap,
     )
+
+
+def synth_png_table(n: int, seed: int = 42, return_pixels: bool = False):
+    """Deterministic REAL PNG payloads (encoded with stages/png.py) with
+    typed metadata — the multimodal fixture for true decode tests."""
+    from sous_chef_ray.stages.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(16, 96, n).astype(np.int32)
+    heights = rng.integers(16, 96, n).astype(np.int32)
+    pixels = [
+        rng.integers(0, 256, (int(h), int(w), 3), dtype=np.uint8)
+        for w, h in zip(widths, heights)
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array([f"img{i:06d}" for i in range(n)]),
+            "payload": pa.array([encode_png(p) for p in pixels],
+                                type=pa.large_binary()),
+            "mime": pa.array(["image/png"] * n),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+        }
+    )
+    return (tbl, pixels) if return_pixels else tbl

@@ -20,7 +20,7 @@ def test_decode_images_schema_and_determinism():
     df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
     assert list(df.columns) == [
         "media_id", "width", "height", "checksum",
-        "mean_px", "std_px", "min_px", "max_px",
+        "mean_px", "std_px", "min_px", "max_px", "thumbnail",
     ]
     assert len(df) == 64
     # deterministic: same input → same checksums
@@ -31,9 +31,89 @@ def test_decode_images_schema_and_determinism():
     assert (df["checksum"] == df2["checksum"]).all()
 
 
-def test_decode_real_codec_is_stubbed():
+def test_decode_unknown_mime_is_stubbed():
+    """Real-decode mode works for PNG; any other codec remains the
+    declared NotImplementedError boundary."""
+    import pyarrow as pa
+
+    dec = DecodeImages(fake=False)
+    batch = pa.table({
+        "media_id": pa.array(["x"]),
+        "payload": pa.array([b"\x00\x01"], type=pa.large_binary()),
+        "mime": pa.array(["image/jpeg"]),
+        "width": pa.array([1], type=pa.int32()),
+        "height": pa.array([1], type=pa.int32()),
+    })
     with pytest.raises(NotImplementedError):
-        DecodeImages(fake=False)
+        dec(batch)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode->decode is pixel-exact; hand-built Sub/Up/Average/Paeth
+    filtered PNGs also decode exactly (reference: RFC 2083 filters)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sous_chef_ray.stages.png import _chunk, _SIG, decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    gray = rng.integers(0, 256, (9, 31), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+
+    # hand-roll each filter type on a known image and verify exact decode
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8).astype(np.int64)
+    for ftype in (1, 2, 3, 4):
+        h, w, ch = img.shape
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):
+            line = img[y].reshape(-1)
+            filt = np.zeros(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                filt[x] = (line[x] - pred) & 0xFF
+            raw.append(ftype)
+            raw.extend(int(v) for v in filt)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(data), img.astype(np.uint8)), ftype
+
+
+def test_decode_real_png_pixel_stats():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.multimodal import decode_images, synth_png_table
+
+    imgs, pixel_truth = synth_png_table(24, seed=5, return_pixels=True)
+    out = decode_images(rd.from_arrow(imgs), fake=False, concurrency=2,
+                        batch_size=8).to_pandas().sort_values("media_id")
+    for (_, row), truth in zip(out.iterrows(), pixel_truth):
+        px = truth.astype(np.float64)
+        assert row["width"] == truth.shape[1] and row["height"] == truth.shape[0]
+        assert abs(row["mean_px"] - px.mean()) < 1e-9
+        assert abs(row["std_px"] - px.std()) < 1e-9
+        assert len(row["thumbnail"]) == 32 * 32 * 3
 
 
 def test_sample_frames_layout():
