@@ -196,3 +196,78 @@ def synth_png_table(n: int, seed: int = 42, return_pixels: bool = False):
         }
     )
     return (tbl, pixels) if return_pixels else tbl
+
+
+def decode_wav(data: bytes):
+    """Minimal RIFF/WAVE PCM parser (pure stdlib): returns
+    (samples float64 in [-1,1] shaped (n, channels), sample_rate)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels), rate
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """(n, channels) float64 in [-1,1] → 16-bit PCM WAV bytes (tests)."""
+    import struct
+
+    samples = np.atleast_2d(np.asarray(samples, dtype=np.float64))
+    if samples.shape[0] < samples.shape[1]:
+        samples = samples.T
+    n, ch = samples.shape
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+class DecodeAudio:
+    """Actor-pool WAV decode: true duration / RMS / peak per clip."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, rms, peak, rates = [], [], [], []
+        for p in batch["payload"].to_pylist():
+            x, rate = decode_wav(p)
+            durs.append(len(x) / rate)
+            rms.append(float(np.sqrt((x ** 2).mean())) if len(x) else 0.0)
+            peak.append(float(np.abs(x).max()) if len(x) else 0.0)
+            rates.append(rate)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "sample_rate": pa.array(rates, type=pa.int32()),
+            "duration_sec": pa.array(durs, type=pa.float64()),
+            "rms": pa.array(rms, type=pa.float64()),
+            "peak": pa.array(peak, type=pa.float64()),
+        })
+
+
+def decode_audio(ds: "rd.Dataset", concurrency: int | tuple = 2,
+                 batch_size: int = 64) -> "rd.Dataset":
+    return ds.map_batches(
+        DecodeAudio, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=pool(concurrency),
+    )

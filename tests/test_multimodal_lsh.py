@@ -186,3 +186,30 @@ def test_ivf_recall_vs_brute_force():
     pd_exact = exact.reset_index(drop=True)
     pd_full = full.reset_index(drop=True)
     assert list(pd_exact["neighbor_id"]) == list(pd_full["neighbor_id"])
+
+
+def test_wav_roundtrip_and_decode_stage():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.multimodal import decode_audio, decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    t = np.arange(16000) / 16000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)[:, None]  # 1s 440Hz @ -6dB
+    noise = rng.uniform(-0.1, 0.1, (8000, 2))          # 0.5s stereo noise
+    wavs = [encode_wav(tone, 16000), encode_wav(noise, 16000)]
+    x, r = decode_wav(wavs[0])
+    assert r == 16000 and x.shape == (16000, 1)
+    assert np.allclose(x[:, 0], tone[:, 0], atol=1e-4)
+
+    tbl = pa.table({
+        "media_id": pa.array(["a", "b"]),
+        "payload": pa.array(wavs, type=pa.large_binary()),
+    })
+    out = decode_audio(rd.from_arrow(tbl), concurrency=2).to_pandas().sort_values("media_id")
+    assert abs(out["duration_sec"].iloc[0] - 1.0) < 1e-9
+    assert abs(out["duration_sec"].iloc[1] - 0.5) < 1e-9
+    assert abs(out["rms"].iloc[0] - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
+    assert out["peak"].iloc[0] <= 0.5001
