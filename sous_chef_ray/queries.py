@@ -1870,6 +1870,35 @@ def multimodal_decode(sf_dir: str):
     return out.drop_columns(["thumbnail"])  # driver hash: keep scalar cols
 
 
+@register("audio_features")  # binary decode → rows-only
+def audio_features(sf_dir: str):
+    """WAV PCM decode: deterministic synthetic tones/noise clips →
+    true duration/RMS/peak features via the actor-pool DecodeAudio
+    (pure-stdlib RIFF parser, stages/multimodal.decode_wav)."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.multimodal import decode_audio, encode_wav
+
+    rng = np.random.default_rng(13)
+    clips, ids = [], []
+    for i in range(64):
+        secs = float(rng.uniform(0.2, 1.5))
+        n = int(16000 * secs)
+        freq = float(rng.uniform(100, 2000))
+        amp = float(rng.uniform(0.1, 0.9))
+        t = np.arange(n) / 16000.0
+        clips.append(encode_wav(amp * np.sin(2 * np.pi * freq * t)[:, None], 16000))
+        ids.append(f"clip{i:04d}")
+    tbl = pa.table({
+        "media_id": pa.array(ids),
+        "payload": pa.array(clips, type=pa.large_binary()),
+    })
+    out = decode_audio(rd.from_arrow(tbl), concurrency=2).to_pandas()
+    for c in ("duration_sec", "rms", "peak"):
+        out[c] = out[c].round(6)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 _DERIVED_SQL = """
 SELECT n_name, COUNT(*) AS n_big_customers,
        SUM(CAST(ROUND(total_spend * 100) AS BIGINT)) / 100.0 AS spend
