@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "rolling_event_value",
     "orders_customer_nation",
     "top_orders_per_customer",
+    "clicks_in_purchase_window",  # interval join (round 2)
+    "event_type_pivot",           # conditional-agg pivot (round 2)
 ]
 
 
