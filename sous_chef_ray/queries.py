@@ -724,6 +724,44 @@ def rolling_event_value(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+_ROLLING_TIME_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS rolling_1h_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS rolling_1h_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_time_event_value", _ROLLING_TIME_SQL)
+def rolling_time_event_value(sf_dir: str):
+    """Time-RANGE moving window (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING):
+    per-run binary-searched frame bounds + prefix sums
+    (stages/window.with_rolling_time_sum) — the time-based sibling of
+    the ROWS-frame C10 operator, incl. SQL's peers-share-frame tie rule."""
+    from sous_chef_ray.stages.window import with_rolling_time_sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"], "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    out = with_rolling_time_sum(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "ts", "cents", pd.Timedelta(hours=1), tie_by="event_id",
+        sum_name="rolling_1h_cents", cnt_name="rolling_1h_cnt",
+        num_buckets=_buckets(sf_dir, "events"),
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "rolling_1h_cents", "rolling_1h_cnt"]
+    )
+
+
 _TUMBLING_SQL = """
 SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS window_start,
        COUNT(*) AS n_events,

@@ -215,6 +215,58 @@ def with_rolling_sum_count(
     return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
+def with_rolling_time_sum(
+    ds: "rd.Dataset",
+    partition_by: List[str] | str,
+    ts_col: str,
+    col: str,
+    interval,
+    tie_by: Optional[str] = None,
+    sum_name: str = "rolling_sum",
+    cnt_name: str = "rolling_cnt",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Time-RANGE moving window: SUM/COUNT over
+    ``RANGE BETWEEN interval PRECEDING AND CURRENT ROW`` — every row in
+    the key whose ts ∈ [row_ts − interval, row_ts]. Per bucket: one
+    sort, a prefix sum, and a vectorized ``np.searchsorted`` for each
+    row's window start (no per-row loop). SQL RANGE semantics: rows with
+    EQUAL ts share the same frame (all peers included)."""
+    import pandas as pd
+
+    keys = _as_list(partition_by)
+    order = [ts_col] + ([tie_by] if tie_by else [])
+    ivl_us = int(pd.Timedelta(interval).value // 1000)
+
+    def fn(t: pa.Table) -> pa.Table:
+        t, key_change, group_start, arange = _sorted_with_bounds(t, keys, order, False)
+        n = len(t)
+        tsc = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(tsc.type):
+            tsc = tsc.cast(pa.timestamp("us"))
+        ts = tsc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False)
+        cs = np.cumsum(v)
+        # ts is sorted only WITHIN each key run (bucket order is
+        # key-major), so the binary searches run per key run — numpy
+        # vector work per run, one python iteration per key in the bucket
+        run_starts = np.nonzero(key_change)[0] if n else np.array([], dtype=np.int64)
+        run_bounds = np.append(run_starts, n)
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(run_bounds[:-1], run_bounds[1:]):
+            run_ts = ts[s:e]
+            lo[s:e] = s + np.searchsorted(run_ts, run_ts - ivl_us, side="left")
+            # RANGE frames include ts-PEERS ahead of the current row
+            hi[s:e] = s + np.searchsorted(run_ts, run_ts, side="right") - 1
+        left = np.where(lo > 0, cs[lo - 1], 0)
+        t = t.append_column(sum_name, pa.array(cs[hi] - left))
+        t = t.append_column(cnt_name, pa.array((hi - lo + 1).astype(np.int64)))
+        return t
+
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
+
+
 def with_running_sum(
     ds: "rd.Dataset",
     partition_by: List[str] | str,
