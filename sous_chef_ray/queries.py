@@ -168,6 +168,51 @@ def median_quantity_per_flag(sf_dir: str):
                           name="median_qty", num_buckets=4)
 
 
+_MEDIAN_DISC_SQL = """
+SELECT l_returnflag,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("quantile_disc_per_flag", _MEDIAN_DISC_SQL)
+def quantile_disc_per_flag(sf_dir: str):
+    """PERCENTILE_DISC(0.25) — discrete quantile, an actual member value
+    (SURVEY §2.C5 complement to PERCENTILE_CONT)."""
+    from sous_chef_ray.stages.agg import group_quantile_disc
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return group_quantile_disc(li, "l_returnflag", "l_quantity", q=0.25,
+                               name="q25_qty", num_buckets=4)
+
+
+_UNION_DISTINCT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("union_distinct_users", _UNION_DISTINCT_SQL)
+def union_distinct_users(sf_dir: str):
+    """UNION (distinct) — Dataset.union of the filtered streams followed
+    by a distributed distinct (per-batch unique → Dataset.unique), the
+    C13 complement to UNION ALL."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pick(kind):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["event_type"], k)).select(["user_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    from sous_chef_ray.stages.join import distinct_key_array
+
+    both = pick("click").union(pick("purchase"))
+    vals = distinct_key_array(both, "user_id")
+    return pa.table({"user_id": vals})
+
+
 _ARRAYAGG_SQL = """
 SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
 FROM orders GROUP BY o_custkey

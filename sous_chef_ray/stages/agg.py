@@ -67,6 +67,31 @@ def group_quantile(
     return partition_apply(ds, keys, fn, num_buckets)
 
 
+def group_quantile_disc(
+    ds: "rd.Dataset",
+    keys: List[str] | str,
+    col: str,
+    q: float = 0.5,
+    name: str = "quantile",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """PERCENTILE_DISC(q) WITHIN GROUP — the smallest value whose
+    cumulative distribution ≥ q (an ACTUAL group member, no
+    interpolation; ANSI/DuckDB semantics)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def disc(s: pd.Series):
+            v = np.sort(s.to_numpy())
+            idx = max(int(np.ceil(q * len(v))) - 1, 0)
+            return v[idx]
+
+        out = df.groupby(keys, sort=False)[col].apply(disc).reset_index()
+        return out.rename(columns={col: name})
+
+    return partition_apply(ds, keys, fn, num_buckets)
+
+
 def array_agg(
     ds: "rd.Dataset",
     keys: List[str] | str,
