@@ -1214,6 +1214,61 @@ def embedding_neardup_pairs(sf_dir: str):
                               concurrency=2)
 
 
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_e4,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '2024-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+"""
+
+
+@register("shipping_priority_q3", _Q3_SQL)
+def shipping_priority_q3(sf_dir: str):
+    """TPC-H Q3-shaped pipeline: filter-pushdown on both dimensions, a
+    semi-filter of orders by the (small) BUILDING customer set, one hash
+    join lineitem⋈orders, then a hash aggregate of exact integer
+    revenue — the canonical multi-join + agg composition."""
+    from sous_chef_ray.stages.join import distinct_key_array, hash_join, semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = pd.Timestamp("2024-03-15")
+    orders_f = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff, type=pa.timestamp("us")))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders_b = semi_join(orders_f, distinct_key_array(building, "c_custkey"),
+                         "o_custkey", concurrency=2)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            10000.0)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev})
+
+    li_r = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li_r, orders_b.select_columns(["o_orderkey", "o_orderdate"]),
+                       on="l_orderkey", right_on="o_orderkey",
+                       join_type="inner", num_partitions=8)
+    return (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        .select_columns(["l_orderkey", "revenue_e4", "o_orderdate"])
+    )
+
+
 _HAVING_SQL = """
 SELECT o_custkey, COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
