@@ -1214,6 +1214,55 @@ def embedding_neardup_pairs(sf_dir: str):
                               concurrency=2)
 
 
+_MOMENTS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / (100.0 * COUNT(*)) AS mean_value,
+       (SUM(CAST(ROUND(value * 100) AS BIGINT)
+            * CAST(ROUND(value * 100) AS BIGINT))
+        - SUM(CAST(ROUND(value * 100) AS BIGINT))
+          * SUM(CAST(ROUND(value * 100) AS BIGINT)) / (1.0 * COUNT(*)))
+       / (10000.0 * (COUNT(*) - 1)) AS var_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("value_moments_per_type", _MOMENTS_SQL)
+def value_moments_per_type(sf_dir: str):
+    """VARIANCE/STDDEV family via exact integer moments: both engines
+    sum cents and cents² as int64 (order-independent), then derive mean
+    and sample variance from THE SAME integers — bit-identical doubles
+    (the queries.py determinism note applied to second moments)."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"], "cents": c,
+            "cents_sq": pc.multiply(c, c),
+        })
+
+    agg = (
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="sum_cents"),
+            Sum("cents_sq", alias_name="sumsq_cents"),
+        )
+        .to_pandas()
+    )
+    agg["mean_value"] = agg["sum_cents"] / (100.0 * agg["n"])
+    agg["var_value"] = (
+        agg["sumsq_cents"] - agg["sum_cents"] * agg["sum_cents"] / (1.0 * agg["n"])
+    ) / (10000.0 * (agg["n"] - 1))
+    return agg[["event_type", "n", "sum_cents", "sumsq_cents",
+                "mean_value", "var_value"]]
+
+
 _Q3_SQL = """
 SELECT l.l_orderkey,
        CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
