@@ -1214,6 +1214,42 @@ def embedding_neardup_pairs(sf_dir: str):
                               concurrency=2)
 
 
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+     p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id, c.n_clicks, p.n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+@register("click_purchase_full_outer", _FULL_OUTER_SQL)
+def click_purchase_full_outer(sf_dir: str):
+    """FULL OUTER JOIN (C12 completion): per-user click and purchase
+    counts joined so either-side-only users survive with nulls —
+    Ray Data's hash-partitioned full_outer join."""
+    from sous_chef_ray.stages.join import hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def counts(kind, name):
+        return (
+            ev.map_batches(
+                lambda t, k=kind: t.filter(pc.equal(t["event_type"], k)).select(["user_id"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .groupby("user_id")
+            .aggregate(Count(alias_name=name))
+        )
+
+    c = counts("click", "n_clicks")
+    p = counts("purchase", "n_purchases")
+    # Ray's full_outer join coalesces the key column automatically
+    return hash_join(c, p, on="user_id", join_type="full_outer",
+                     num_partitions=8)
+
+
 _MOMENTS_SQL = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
