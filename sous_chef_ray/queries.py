@@ -1214,6 +1214,57 @@ def embedding_neardup_pairs(sf_dir: str):
                               concurrency=2)
 
 
+_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("users_click_and_purchase", _INTERSECT_SQL)
+def users_click_and_purchase(sf_dir: str):
+    """INTERSECT: distinct reduction of each side in the cluster, then a
+    vectorized membership filter of the two (small) distinct sets."""
+    from sous_chef_ray.stages.join import distinct_key_array
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pick(kind):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["event_type"], k)).select(["user_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    a = distinct_key_array(pick("click"), "user_id")
+    b = distinct_key_array(pick("purchase"), "user_id")
+    return pa.table({"user_id": a.filter(pc.is_in(a, value_set=b))})
+
+
+_EXCEPT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("users_click_not_purchase", _EXCEPT_SQL)
+def users_click_not_purchase(sf_dir: str):
+    """EXCEPT: same distinct-then-membership shape, inverted mask."""
+    from sous_chef_ray.stages.join import distinct_key_array
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pick(kind):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["event_type"], k)).select(["user_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    a = distinct_key_array(pick("click"), "user_id")
+    b = distinct_key_array(pick("purchase"), "user_id")
+    return pa.table({"user_id": a.filter(pc.invert(pc.is_in(a, value_set=b)))})
+
+
 _FULL_OUTER_SQL = """
 WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
            FROM events WHERE event_type = 'click' GROUP BY user_id),
