@@ -1285,6 +1285,13 @@ def click_purchase_full_outer(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def counts(kind, name):
+        schema = pa.schema([("user_id", pa.int64()), (name, pa.int64())])
+
+        def fix_empty(t: pa.Table, s=schema) -> pa.Table:
+            # empty shuffle partitions emit ZERO-COLUMN blocks; Arrow's
+            # join rejects them ("no match for key field") — re-type
+            return s.empty_table() if t.num_columns == 0 else t
+
         return (
             ev.map_batches(
                 lambda t, k=kind: t.filter(pc.equal(t["event_type"], k)).select(["user_id"]),
@@ -1292,6 +1299,7 @@ def click_purchase_full_outer(sf_dir: str):
             )
             .groupby("user_id")
             .aggregate(Count(alias_name=name))
+            .map_batches(fix_empty, batch_format="pyarrow", zero_copy_batch=True)
         )
 
     c = counts("click", "n_clicks")
