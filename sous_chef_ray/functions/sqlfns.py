@@ -112,14 +112,16 @@ def rpad(arr: pa.Array, width: int, fill: str = " ") -> pa.Array:
 
 def split_part(arr: pa.Array, sep: str, index: int) -> pa.Array:
     """SPLIT_PART(arr, sep, index) — 1-based; empty string when the part
-    does not exist (DuckDB semantics)."""
+    does not exist, NULL for a NULL input (DuckDB semantics)."""
     parts = pc.split_pattern(arr, sep)
     n = pc.list_value_length(parts)
     ok = pc.greater_equal(n, index)
     # null out rows whose list is too short so list_element can't raise,
-    # then map those nulls to '' (DuckDB returns '' for a missing part)
+    # then map those nulls to '' (DuckDB returns '' for a missing part) —
+    # but only for rows whose INPUT was non-null (NULL in → NULL out)
     safe = pc.if_else(ok, parts, pa.scalar(None, type=pa.list_(pa.string())))
-    return pc.fill_null(pc.list_element(safe, index - 1), "")
+    filled = pc.fill_null(pc.list_element(safe, index - 1), "")
+    return pc.if_else(pc.is_valid(arr), filled, pa.scalar(None, type=pa.string()))
 
 
 def upper(arr: pa.Array) -> pa.Array:

@@ -24,7 +24,12 @@ def nul_safe_key_strings(arr):
     other values — see stages/salt.py). Bytes values hash fine; only str
     keys need this. The escape (\\x1f→\\x1fE, \\x00→\\x1fZ) is injective,
     so distinct keys stay distinct; the (cheap, one C pass) detection
-    skips the rewrite entirely for NUL-free columns — the common case.
+    skips the rewrite entirely for clean columns — the common case.
+
+    The escape must fire when the column contains EITHER \\x00 or \\x1f:
+    a key containing only \\x1f would otherwise hash raw in clean
+    batches but escaped in batches that happen to also hold a NUL key,
+    landing the same key in different buckets across batches.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -33,8 +38,10 @@ def nul_safe_key_strings(arr):
         arr = arr.combine_chunks()
     if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
         return arr
-    n_nul = pc.sum(pc.count_substring(arr, "\x00")).as_py() or 0
-    if not n_nul:
+    n_esc = (pc.sum(pc.count_substring(arr, "\x00")).as_py() or 0) + (
+        pc.sum(pc.count_substring(arr, "\x1f")).as_py() or 0
+    )
+    if not n_esc:
         return arr
     esc = pc.replace_substring(arr, "\x1f", "\x1fE")
     return pc.replace_substring(esc, "\x00", "\x1fZ")

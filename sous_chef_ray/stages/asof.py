@@ -289,15 +289,24 @@ def asof_join_broadcast(
     ):
         from sous_chef_ray.stages.partition import partition_apply
 
-        def best_per_sidx(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(
-                ["__spine_idx__", "__fts__", "__tie__"], kind="mergesort"
+        # Arrow end-to-end: a pandas-format reduce would coerce payload
+        # columns riding along under single_pass (timestamp us→ns, nullable
+        # int64→float64) and break the typed assembly below.
+        def best_per_sidx(t: pa.Table) -> pa.Table:
+            t = t.sort_by(
+                [("__spine_idx__", "ascending"), ("__fts__", "ascending"),
+                 ("__tie__", "ascending")]
             )
-            return df.groupby("__spine_idx__", sort=False).tail(1)
+            s = t["__spine_idx__"].to_numpy()
+            last = np.empty(len(s), dtype=bool)
+            last[:-1] = s[1:] != s[:-1]
+            last[-1] = True
+            return t.take(pa.array(np.nonzero(last)[0]))
 
         cands = partition_apply(
             cands, "__spine_idx__", best_per_sidx,
             num_buckets=max(16, n_spine // 1_000_000),
+            batch_format="pyarrow",
         )
     batches = [
         b for b in cands.iter_batches(batch_size=None, batch_format="pyarrow") if len(b)
@@ -584,36 +593,41 @@ def asof_join_partitioned(
         salted = f"{key}__salted"
 
         def salt_left(t: pa.Table) -> pa.Table:
-            kv = t[key].to_numpy(zero_copy_only=False).astype(str)
-            is_hot = np.isin(t[key].to_numpy(zero_copy_only=False), list(hot))
+            # all-Arrow: hot rows are MOST rows by definition, so a per-row
+            # python loop here was the hot path's hot path (VERDICT r2 #3)
+            karr = pc.cast(t[key].combine_chunks(), pa.string())
+            is_hot = pa.array(
+                np.isin(t[key].to_numpy(zero_copy_only=False), list(hot))
+            )
             shard = (
                 pd.util.hash_pandas_object(
                     pd.Series(_ts_to_int(t[left_ts])), index=False
                 ).to_numpy() % np.uint64(salt_factor)
             ).astype(np.int64)
-            out = kv.astype(object)
-            idx = np.nonzero(is_hot)[0]
-            for i in idx:
-                out[i] = f"{out[i]}{SALT_SEP}{shard[i]}"
-            return t.append_column(salted, pa.array(out, type=pa.string()))
+            tagged = pc.binary_join_element_wise(
+                karr, pc.cast(pa.array(shard), pa.string()), SALT_SEP
+            )
+            out = pc.if_else(is_hot, tagged, karr)
+            return t.append_column(salted, out)
 
         def salt_right(t: pa.Table) -> pa.Table:
             kvals = t[key].to_numpy(zero_copy_only=False)
+            karr = pc.cast(t[key].combine_chunks(), pa.string())
             is_hot = np.isin(kvals, list(hot))
             cold_idx = np.nonzero(~is_hot)[0]
-            hot_idx = np.nonzero(is_hot)[0]
+            hot_idx = pa.array(np.nonzero(is_hot)[0])
             parts = []
             cold = t.take(pa.array(cold_idx))
             cold = cold.append_column(
-                salted, pa.array(kvals[cold_idx].astype(str), type=pa.string())
+                salted, pc.cast(karr, pa.string()).take(pa.array(cold_idx))
             )
             parts.append(cold)
+            hot_keys_str = karr.take(hot_idx)
+            rep_rows = t.take(hot_idx)
             for s in range(salt_factor):
-                rep = t.take(pa.array(hot_idx))
-                rep = rep.append_column(
+                rep = rep_rows.append_column(
                     salted,
-                    pa.array([f"{v}{SALT_SEP}{s}" for v in kvals[hot_idx]],
-                             type=pa.string()),
+                    pc.binary_join_element_wise(hot_keys_str, str(s), SALT_SEP),
                 )
                 parts.append(rep)
             return pa.concat_tables(parts)

@@ -302,11 +302,14 @@ try:  # AggregateFnV2 is the Ray 2.4x custom-aggregate interface
             acc = BlockAccessor.for_block(block)
             tbl = acc.to_arrow()
             col = tbl[self._target_col_name]
-            h = pd.util.hash_pandas_object(
-                col.to_pandas(), index=False
-            ).to_numpy()
+            if self._ignore_nulls:
+                col = col.drop_null()  # else each null group adds a phantom distinct
             sk = HllSketch(self._p)
-            sk.add_hashes(h)
+            if len(col):
+                h = pd.util.hash_pandas_object(
+                    col.to_pandas(), index=False
+                ).to_numpy()
+                sk.add_hashes(h)
             return sk.registers.tobytes()
 
         def combine(self, current: bytes, new: bytes) -> bytes:

@@ -62,6 +62,18 @@ def _sorted_with_bounds(
     return t, key_change, group_start, arange
 
 
+def _filled_values(t: pa.Table, col: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(values with nulls→0, non-null indicator int64) for prefix sums.
+
+    A raw ``to_numpy`` turns a single null into NaN and poisons every
+    later cumsum value in the bucket; SQL SUM/COUNT skip nulls instead.
+    """
+    c = t[col].combine_chunks()
+    nn = np.asarray(pc.is_valid(c)).astype(np.int64)
+    v = pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
+    return v, nn
+
+
 def _take_with_validity(col: pa.ChunkedArray, idx: np.ndarray, valid: np.ndarray):
     """col.take(idx) with nulls where ``valid`` is False (any dtype)."""
     safe = np.where(valid, idx, 0)
@@ -204,12 +216,15 @@ def with_rolling_sum_count(
 
     def fn(t: pa.Table) -> pa.Table:
         t, _, group_start, arange = _sorted_with_bounds(t, keys, order, False)
-        v = t[col].to_numpy(zero_copy_only=False)
+        v, nn = _filled_values(t, col)
         cs = np.cumsum(v)
+        csn = np.cumsum(nn)
         win_start = np.maximum(group_start, arange - window + 1)
         left = np.where(win_start > 0, cs[win_start - 1], 0)
-        t = t.append_column(sum_name, pa.array(cs - left))
-        t = t.append_column(cnt_name, pa.array((arange - win_start + 1).astype(np.int64)))
+        left_n = np.where(win_start > 0, csn[win_start - 1], 0)
+        cnts = csn - left_n
+        t = t.append_column(sum_name, pa.array(cs - left, mask=cnts == 0))
+        t = t.append_column(cnt_name, pa.array(cnts))
         return t
 
     return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
@@ -245,8 +260,9 @@ def with_rolling_time_sum(
         if pa.types.is_timestamp(tsc.type):
             tsc = tsc.cast(pa.timestamp("us"))
         ts = tsc.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = t[col].to_numpy(zero_copy_only=False)
+        v, nn = _filled_values(t, col)
         cs = np.cumsum(v)
+        csn = np.cumsum(nn)
         # ts is sorted only WITHIN each key run (bucket order is
         # key-major), so the binary searches run per key run — numpy
         # vector work per run, one python iteration per key in the bucket
@@ -260,8 +276,10 @@ def with_rolling_time_sum(
             # RANGE frames include ts-PEERS ahead of the current row
             hi[s:e] = s + np.searchsorted(run_ts, run_ts, side="right") - 1
         left = np.where(lo > 0, cs[lo - 1], 0)
-        t = t.append_column(sum_name, pa.array(cs[hi] - left))
-        t = t.append_column(cnt_name, pa.array((hi - lo + 1).astype(np.int64)))
+        left_n = np.where(lo > 0, csn[lo - 1], 0)
+        cnts = csn[hi] - left_n
+        t = t.append_column(sum_name, pa.array(cs[hi] - left, mask=cnts == 0))
+        t = t.append_column(cnt_name, pa.array(cnts))
         return t
 
     return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
@@ -281,10 +299,12 @@ def with_running_sum(
 
     def fn(t: pa.Table) -> pa.Table:
         t, _, group_start, _ = _sorted_with_bounds(t, keys, order, False)
-        v = t[col].to_numpy(zero_copy_only=False)
+        v, nn = _filled_values(t, col)
         cs = np.cumsum(v)
+        csn = np.cumsum(nn)
         left = np.where(group_start > 0, cs[group_start - 1], 0)
-        return t.append_column(name, pa.array(cs - left))
+        left_n = np.where(group_start > 0, csn[group_start - 1], 0)
+        return t.append_column(name, pa.array(cs - left, mask=(csn - left_n) == 0))
 
     return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
