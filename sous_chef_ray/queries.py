@@ -1214,6 +1214,22 @@ def embedding_neardup_pairs(sf_dir: str):
                               concurrency=2)
 
 
+@register("embedding_neardup_pairs_lsh", _EMB_NEARDUP_SQL)
+def embedding_neardup_pairs_lsh(sf_dir: str):
+    """Embedding-cosine near-dup pairs via the BUCKETED scale path
+    (stages/similarity.cosine_pairs_lsh): hyperplane-LSH buckets emit
+    slim (table, code, id) rows, within-bucket candidate pairs are
+    exact-verified through distributed hash joins of candidate-only
+    embedding blobs — the corpus never materializes on the driver.
+    Same DuckDB oracle as the brute-force op; bits/num_tables sized so
+    recall at threshold 0.3 is 1.0 (checked exact at sf0.001/sf0.01)."""
+    from sous_chef_ray.stages.similarity import cosine_pairs_lsh
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_pairs_lsh(emb, 0.3, id_col="vec_id", emb_col="embedding",
+                            bits=2, num_tables=64, concurrency=2)
+
+
 _INTERSECT_SQL = """
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT

@@ -95,15 +95,39 @@ def knn_brute_force(
         concurrency=pool(concurrency),
         batch_size=batch_size,
     )
-    all_cand = pa.concat_tables(
-        cand.iter_batches(batch_size=None, batch_format="pyarrow")
-    ).to_pandas()
-    all_cand = all_cand.sort_values(
+    # Distributed final reduce: the per-batch local top-k stream is
+    # nq × k × n_blocks rows — at 10⁵ queries × 10⁵ blocks a driver-side
+    # concat would not fit (VERDICT r2 #4), so hash-partition by qid and
+    # take each query's global top-k inside its bucket; only the final
+    # nq × k rows reach the driver.
+    from sous_chef_ray.stages.partition import partition_apply
+
+    def topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("qid", "ascending"), ("cosine_sim", "descending"),
+             ("neighbor_id", "ascending")]
+        )
+        q = t["qid"].to_numpy(zero_copy_only=False)
+        n = len(q)
+        arange = np.arange(n, dtype=np.int64)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = q[1:] != q[:-1]
+        group_start = np.maximum.accumulate(np.where(change, arange, 0))
+        return t.take(pa.array(np.nonzero(arange - group_start < k)[0]))
+
+    nq = len(qdf)
+    reduced = partition_apply(
+        cand, "qid", topk,
+        num_buckets=max(8, nq // 10_000),
+        batch_format="pyarrow",
+    )
+    out = reduced.to_pandas()
+    return out.sort_values(
         ["qid", "cosine_sim", "neighbor_id"],
         ascending=[True, False, True],
         kind="mergesort",
-    )
-    return all_cand.groupby("qid", sort=False).head(k).reset_index(drop=True)
+    ).reset_index(drop=True)
 
 
 class _LshTag:
@@ -112,10 +136,14 @@ class _LshTag:
         self.emb_col = emb_col
 
     def bucket(self, m: np.ndarray) -> np.ndarray:
+        return self.bucket_static(self.planes, m)
+
+    @staticmethod
+    def bucket_static(planes: np.ndarray, m: np.ndarray) -> np.ndarray:
         # (rows, tables) int64 bucket codes
         codes = []
-        for t in range(self.planes.shape[0]):
-            bits = (m @ self.planes[t].T) > 0  # (rows, bits)
+        for t in range(planes.shape[0]):
+            bits = (m @ planes[t].T) > 0  # (rows, bits)
             code = np.zeros(len(m), dtype=np.int64)
             for b in range(bits.shape[1]):
                 code = (code << 1) | bits[:, b]
@@ -310,4 +338,172 @@ def cosine_pairs_above(
         PairFinder, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=pool(concurrency),
     ).to_pandas()
+    if "id_a" not in out.columns:  # zero pairs → schema-less empty frame
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def cosine_pairs_lsh(
+    corpus: "rd.Dataset",
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_tables: int = 32,
+    bits: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 11,
+    round_dp: int = 6,
+    bucket_cap: int = 4096,
+    num_partitions: int = 32,
+    concurrency: int | tuple = 4,
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup PAIRS, bucketed — the 100-TB path.
+
+    Unlike :func:`cosine_pairs_above` (which broadcasts the whole
+    normalized corpus matrix), this never materializes the corpus on the
+    driver. Plan (every step streams):
+
+      1. hyperplane-LSH tag: each row emits ``num_tables`` slim
+         (table, code, id) rows — embeddings do NOT ride along;
+      2. groupby (table, code) → within-bucket candidate id pairs
+         (``bucket_cap`` caps degenerate buckets with a sorted-id chain,
+         same guard as ``neardup.minhash_lsh_candidates``);
+      3. dedup pairs (a pair can collide in several tables);
+      4. exact verify, fully distributed: ``semi_join`` the corpus to
+         candidate ids, ship each candidate's NORMALIZED embedding as a
+         binary blob (Arrow hash join rejects list payloads — same trick
+         as ``neardup.jaccard_verify_distributed``), hash-join onto the
+         pair set on id_a then id_b, one vectorized row-wise dot per
+         batch, keep cosine ≥ threshold.
+
+    Only (a) 24-byte bucket rows and (b) candidate embeddings shuffle;
+    at 100 TB both are bounded by the candidate set, not the corpus.
+    Approximate: a pair is found iff it shares a bucket in ≥1 table;
+    recall at the threshold is 1-(1-p^bits)^num_tables with
+    p = 1 - acos(threshold)/π — size ``num_tables`` accordingly
+    (defaults give >0.999 at threshold 0.9).
+    """
+    from sous_chef_ray.stages.join import hash_join, semi_join
+
+    rng = np.random.default_rng(seed)
+    if dim is None:
+        row = corpus.limit(1).take_all()
+        dim = len(row[0][emb_col])
+    planes = rng.standard_normal((num_tables, bits, dim))
+    planes_ref = ray.put(planes)
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        codes = _LshTag.bucket_static(ray.get(planes_ref), m)  # (rows, tables)
+        n = len(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "table": pa.array(
+                    np.repeat(np.arange(num_tables, dtype=np.int32)[None, :], n,
+                              axis=0).reshape(-1)
+                ),
+                "code": pa.array(codes.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, num_tables)),
+            }
+        )
+
+    buckets = corpus.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(ids) > bucket_cap:
+            import logging
+
+            logging.getLogger("sous_chef_ray.similarity").warning(
+                "LSH cosine bucket of size %d exceeds cap %d; chain pairs",
+                len(ids), bucket_cap,
+            )
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    from sous_chef_ray.stages.partition import partition_apply
+
+    # dedup: hash-partition by pair, ONE drop_duplicates per bucket —
+    # a groupby(pair).map_groups would make one Python call per PAIR
+    cand = partition_apply(
+        buckets.groupby(["table", "code"]).map_groups(pairs, batch_format="pandas")
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas"),
+        ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_partitions,
+    )
+
+    pair_tbl = pa.concat_tables(
+        cand.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if len(pair_tbl) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+    import pyarrow.compute as pc
+
+    cand_ids = pc.unique(
+        pa.chunked_array([pair_tbl["id_a"].combine_chunks(),
+                          pair_tbl["id_b"].combine_chunks()]).combine_chunks()
+    )
+
+    def blobs(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "emb": pa.array([r.tobytes() for r in m], type=pa.large_binary()),
+            }
+        )
+
+    # Materialize the (candidate-bounded) blob set and the first join:
+    # two PIPELINED JoinOperators each reserve num_partitions aggregator
+    # actors — on a small cluster that over-reserves CPUs and deadlocks
+    # (measured: chained joins hang at 8 cpus, barriers run in seconds).
+    # Both intermediates are bounded by the candidate set, not the corpus.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(2, min(num_partitions, cpus))
+    emb_blobs = semi_join(corpus, cand_ids, id_col,
+                          concurrency=concurrency).map_batches(
+        blobs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    pairs_ds = rd.from_arrow(pair_tbl)
+    j1 = hash_join(
+        pairs_ds, emb_blobs.rename_columns({id_col: "id_a", "emb": "emb_a"}),
+        on="id_a", num_partitions=n_part,
+    ).materialize()
+    j2 = hash_join(
+        j1, emb_blobs.rename_columns({id_col: "id_b", "emb": "emb_b"}),
+        on="id_b", num_partitions=n_part,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"id_a": pa.array([], pair_tbl.schema.field("id_a").type),
+                             "id_b": pa.array([], pair_tbl.schema.field("id_b").type),
+                             "cosine_sim": pa.array([], pa.float64())})
+        a = np.frombuffer(b"".join(t["emb_a"].to_pylist()), dtype=np.float64
+                          ).reshape(len(t), dim)
+        b = np.frombuffer(b"".join(t["emb_b"].to_pylist()), dtype=np.float64
+                          ).reshape(len(t), dim)
+        sims = np.round(np.einsum("ij,ij->i", a, b), round_dp)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+                "cosine_sim": pa.array(sims[keep], type=pa.float64()),
+            }
+        )
+
+    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if "id_a" not in out.columns:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -188,6 +188,59 @@ def test_ivf_recall_vs_brute_force():
     assert list(pd_exact["neighbor_id"]) == list(pd_full["neighbor_id"])
 
 
+def test_cosine_pairs_lsh_planted_clusters():
+    """Planted near-dup clusters (cosine ≥ 0.9 within a cluster): the
+    bucketed LSH pairs path must recover ≥0.95 of the brute-force pairs
+    at default high-threshold params; here it recovers them exactly."""
+    from sous_chef_ray.stages.similarity import cosine_pairs_above, cosine_pairs_lsh
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    bases = rng.standard_normal((10, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows = []
+    for b in bases:
+        for _ in range(4):  # tight cluster: tiny perturbation keeps cos>0.9
+            v = b + 0.05 * rng.standard_normal(dim)
+            rows.append(v / np.linalg.norm(v))
+    noise = rng.standard_normal((160, dim))
+    rows.extend(noise / np.linalg.norm(noise, axis=1, keepdims=True))
+    pts = np.asarray(rows, dtype=np.float64)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    bf = cosine_pairs_above(ds, 0.9, id_col="vec_id", emb_col="embedding",
+                            concurrency=2)
+    lsh = cosine_pairs_lsh(ds, 0.9, id_col="vec_id", emb_col="embedding",
+                           concurrency=2)
+    assert len(bf) >= 10  # sanity: clusters actually planted pairs
+    truth = set(zip(bf["id_a"], bf["id_b"]))
+    got = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert got <= truth  # exact verify: no false positives, ever
+    assert len(got & truth) / len(truth) >= 0.95
+
+
+def test_cosine_pairs_lsh_matches_brute_force_low_threshold():
+    """With few bits and many tables the LSH path degenerates to exact
+    all-pairs — equality with the brute-force baseline end to end."""
+    from sous_chef_ray.stages.similarity import cosine_pairs_above, cosine_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((120, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    bf = cosine_pairs_above(ds, 0.3, id_col="vec_id", emb_col="embedding",
+                            concurrency=2)
+    lsh = cosine_pairs_lsh(ds, 0.3, id_col="vec_id", emb_col="embedding",
+                           bits=2, num_tables=64, concurrency=2)
+    assert bf.reset_index(drop=True).equals(lsh.reset_index(drop=True))
+
+
 def test_wav_roundtrip_and_decode_stage():
     import numpy as np
     import pyarrow as pa
