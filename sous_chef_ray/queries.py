@@ -2327,3 +2327,53 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Registration order: the driver's correctness gate checks the FIRST ~50
+# registered queries, so every exact-oracle §2.F / north-rule operator must
+# land inside that window; redundant SQL-surface variants and rows-only
+# sketches follow. Source order above stays grouped by topic — this block
+# re-keys the dicts (insertion order IS the registration order).
+# ---------------------------------------------------------------------------
+
+_WINDOW_PRIORITY = [
+    # LLM-data §2.F, exact oracles
+    "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
+    "doc_normalize_text", "doc_redact_pii", "doc_sentences",
+    "doc_repetition_scores", "doc_quality_scores", "doc_fingerprints",
+    "exact_dedup_docs", "knn_cosine_top5", "embedding_nearest_neighbor",
+    "embedding_neardup_pairs", "embedding_neardup_pairs_lsh",
+    # north-rule operators
+    "asof_last_purchase", "asof_last_purchase_partitioned",
+    "latest_event_per_user", "sessionize_events", "backfill_daily_purchase",
+    "rolling_event_value", "rolling_time_event_value", "running_event_value",
+    "tumbling_6h_by_type", "hopping_6h_2h_by_type",
+    "streaming_tumbling_by_user", "streaming_sessions_by_user",
+    # window functions
+    "event_lag_lead", "event_first_last", "order_rank_per_customer",
+    "event_ntile_pct", "top_orders_per_customer",
+    # joins
+    "orders_customer_nation", "customer_left_join_orders",
+    "click_purchase_full_outer", "customers_with_big_orders",
+    "customers_without_big_orders", "clicks_in_purchase_window",
+    "shipping_priority_q3",
+    # aggregates / SQL surface (one representative per family)
+    "pricing_summary", "big_spenders_by_nation", "weekly_event_rollup",
+    "lineitem_rollup", "frequent_customers", "event_type_pivot",
+    "value_moments_per_type", "median_quantity_per_flag", "quantity_extremes",
+    "distinct_event_types_per_user", "lineitem_profile",
+    "error_events_per_user",
+]
+
+
+def _apply_registration_order() -> None:
+    global QUERIES, ORACLE_SQL
+    missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, f"priority list names unknown queries: {missing}"
+    ordered = _WINDOW_PRIORITY + [n for n in QUERIES if n not in _WINDOW_PRIORITY]
+    QUERIES = {n: QUERIES[n] for n in ordered}
+    ORACLE_SQL = {n: ORACLE_SQL[n] for n in ordered if n in ORACLE_SQL}
+
+
+_apply_registration_order()
