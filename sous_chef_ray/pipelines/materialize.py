@@ -47,10 +47,15 @@ def tokenize_documents(docs: "rd.Dataset", vocab: int = 50257) -> "rd.Dataset":
         tokens = pa.LargeListArray.from_arrays(
             pa.array(offsets), pa.array(hashed)
         ).cast(pa.list_(pa.int32()))
+        import pyarrow.compute as pc
+
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        id_str = pc.binary_join_element_wise(
+            "doc", pc.utf8_lpad(pc.cast(pa.array(ids), pa.string()), 8, "0"), ""
+        )
         out = pa.table(
             {
-                "doc_id": pa.array([f"doc{i:08d}" for i in ids], type=pa.string()),
+                "doc_id": id_str,
                 "tokens": tokens,
                 "n_tok": pa.array(lengths.astype(np.int32)),
                 "source": pa.array(batch["source"].to_numpy(dtype=object), type=pa.string()),
@@ -157,9 +162,17 @@ def flagship(sf_dir: str, concurrency: int | tuple = 4) -> pa.Table:
     """End-to-end flagship over driver testdata: tokenize documents →
     token table → window features (lag/lead + sessions, one shuffle) →
     point-in-time as-of join of a spine with TTL + tie-break."""
+    import os
+
+    from sous_chef_ray.stages.partition import auto_num_buckets
+
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
+    try:
+        doc_bytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+    except OSError:
+        doc_bytes = None
     token_ds = tokenize_documents(docs)
     feat_ds = window_features(
         token_ds,
@@ -168,7 +181,7 @@ def flagship(sf_dir: str, concurrency: int | tuple = 4) -> pa.Table:
         tie_col="created_ts",
         value_col="n_tok",
         session_gap=pd.Timedelta(hours=6),
-        num_buckets=16,
+        num_buckets=auto_num_buckets(doc_bytes, min_buckets=16),
     )
 
     import pyarrow.parquet as pq
