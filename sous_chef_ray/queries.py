@@ -1112,12 +1112,13 @@ FROM events GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
 
 @register("streaming_tumbling_by_user", _STREAMING_SQL)
 def streaming_tumbling_by_user(sf_dir: str):
-    """Streaming tumbling windows with watermark (stages/streaming.py):
-    events fed in event-time order through sharded stateful window
-    actors; with lateness covering the (zero) disorder the watermark
-    path must reproduce the batch aggregate EXACTLY — verified against
-    the batch SQL oracle."""
-    from sous_chef_ray.stages.streaming import streaming_tumbling_window
+    """Streaming tumbling windows with watermark (stages/streaming.py),
+    SHARD-FED: the events table hash-partitions by user (one shuffle);
+    each shard sorts by event time inside its own Ray task and streams
+    through its watermark state machine in arrival-ordered chunks — no
+    global sort, no driver byte path (round-2 review item). The result
+    must reproduce the batch aggregate EXACTLY (SQL oracle)."""
+    from sous_chef_ray.stages.streaming import streaming_tumbling_window_sharded
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
@@ -1127,20 +1128,14 @@ def streaming_tumbling_by_user(sf_dir: str):
             "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
         })
 
-    stream = (
-        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("ts")
-        .iter_batches(batch_size=4096, batch_format="pyarrow")
-    )
-    out, dropped = streaming_tumbling_window(
-        stream, key_col="user_id", ts_col="ts", value_col="cents",
+    out, dropped = streaming_tumbling_window_sharded(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", value_col="cents",
         window=pd.Timedelta(hours=6), allowed_lateness=pd.Timedelta(hours=1),
-        num_shards=4,
+        num_shards=max(4, _buckets(sf_dir, "events")),
     )
     assert dropped == 0, dropped
-    return out.rename(columns={"sum_value": "sum_value"})[
-        ["user_id", "window_start", "n_events", "sum_value"]
-    ]
+    return out[["user_id", "window_start", "n_events", "sum_value"]]
 
 
 _STREAM_SESSION_SQL = """
@@ -1165,10 +1160,11 @@ FROM sess GROUP BY user_id, sid
 @register("streaming_sessions_by_user", _STREAM_SESSION_SQL)
 def streaming_sessions_by_user(sf_dir: str):
     """STREAMING gap-sessionization with watermark + session merging
-    (stages/streaming.WatermarkSessionWindow, sharded actors): with the
-    stream fed in event-time order the closed+flushed sessions must
-    equal the batch sessionization aggregate EXACTLY (SQL oracle)."""
-    from sous_chef_ray.stages.streaming import streaming_session_window
+    (stages/streaming.WatermarkSessionWindow), SHARD-FED: hash-partition
+    by user, per-shard event-time order, per-shard watermark — closed +
+    flushed sessions equal the batch sessionization aggregate EXACTLY
+    (SQL oracle). No global sort, no driver ingest loop."""
+    from sous_chef_ray.stages.streaming import streaming_session_window_sharded
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
@@ -1178,15 +1174,11 @@ def streaming_sessions_by_user(sf_dir: str):
             "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
         })
 
-    stream = (
-        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("ts")
-        .iter_batches(batch_size=4096, batch_format="pyarrow")
-    )
-    out, dropped = streaming_session_window(
-        stream, key_col="user_id", ts_col="ts", value_col="cents",
+    out, dropped = streaming_session_window_sharded(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", value_col="cents",
         gap=pd.Timedelta(minutes=30), allowed_lateness=pd.Timedelta(minutes=5),
-        num_shards=4,
+        num_shards=max(4, _buckets(sf_dir, "events")),
     )
     assert dropped == 0, dropped
     return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]

@@ -142,6 +142,135 @@ def streaming_tumbling_window(
     return out, dropped
 
 
+def _run_state_machine(
+    t: pa.Table,
+    state,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    chunk: int,
+) -> List[Tuple]:
+    """Feed one shard's rows through a watermark state machine in
+    arrival-ordered chunks; returns closed + flushed window tuples and
+    leaves ``state.dropped_late`` populated."""
+    ts = t[ts_col].combine_chunks() if isinstance(
+        t[ts_col], pa.ChunkedArray) else t[ts_col]
+    if pa.types.is_timestamp(ts.type):
+        ts = ts.cast(pa.timestamp("us"))
+    ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    vals = t[value_col].to_numpy(zero_copy_only=False)
+    rows: List[Tuple] = []
+    for off in range(0, len(t), chunk):
+        rows.extend(state.process(
+            keys[off:off + chunk], ts_us[off:off + chunk], vals[off:off + chunk]
+        ))
+    rows.extend(state.flush())
+    return rows
+
+
+def streaming_tumbling_window_sharded(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: pd.Timedelta,
+    allowed_lateness: pd.Timedelta,
+    num_shards: int = 4,
+    chunk: int = 4096,
+) -> Tuple[pd.DataFrame, int]:
+    """Shard-fed streaming tumbling windows over a Dataset — the scale
+    path. The round-2 feed globally sorted ALL events and pushed bytes
+    through a single driver ``iter_batches`` loop; here the dataset
+    hash-partitions by key (one shuffle), each shard block sorts by
+    event time INSIDE its own Ray task and streams through its own
+    watermark state machine in arrival-ordered chunks. No global sort,
+    no driver byte path — the driver only sees closed-window aggregates.
+
+    Per-shard arrival order is event-time order, so with any
+    ``allowed_lateness`` ≥ 0 nothing drops and the result equals the
+    batch aggregate exactly (shard-invariant: a key's whole stream
+    passes through one shard).
+    """
+    from sous_chef_ray.stages.partition import partition_apply
+
+    window_us = int(pd.Timedelta(window).value // 1000)
+    lateness_us = int(pd.Timedelta(allowed_lateness).value // 1000)
+
+    def run_shard(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(ts_col, "ascending")])
+        state = WatermarkTumblingWindow(window_us, lateness_us)
+        rows = _run_state_machine(t, state, key_col, ts_col, value_col, chunk)
+        k, s, n, v = (list(x) for x in zip(*rows)) if rows else ([], [], [], [])
+        # dropped-late count rides in the shard's FIRST row only, so a
+        # driver-side sum recovers the total
+        dropped = [state.dropped_late] + [0] * (len(rows) - 1) if rows else []
+        return pa.table({
+            key_col: pa.array(k, type=t.schema.field(key_col).type),
+            "window_start_us": pa.array(s, type=pa.int64()),
+            "n_events": pa.array(n, type=pa.int64()),
+            "sum_value": pa.array(v, type=pa.int64()),
+            "__dropped__": pa.array(dropped, type=pa.int64()),
+        })
+
+    out = partition_apply(
+        ds, key_col, run_shard, num_buckets=num_shards, batch_format="pyarrow"
+    ).to_pandas()
+    dropped = int(out["__dropped__"].sum()) if len(out) else 0
+    out = out.drop(columns=["__dropped__"])
+    out["window_start"] = pd.to_datetime(out["window_start_us"], unit="us")
+    out = out.drop(columns=["window_start_us"]).sort_values(
+        [key_col, "window_start"]).reset_index(drop=True)
+    return out, dropped
+
+
+def streaming_session_window_sharded(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    gap: pd.Timedelta,
+    allowed_lateness: pd.Timedelta,
+    num_shards: int = 4,
+    chunk: int = 4096,
+) -> Tuple[pd.DataFrame, int]:
+    """Shard-fed streaming gap-sessionization — same plan as
+    :func:`streaming_tumbling_window_sharded` with the session-merge
+    state machine per shard."""
+    from sous_chef_ray.stages.partition import partition_apply
+
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+    lateness_us = int(pd.Timedelta(allowed_lateness).value // 1000)
+
+    def run_shard(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(ts_col, "ascending")])
+        state = WatermarkSessionWindow(gap_us, lateness_us)
+        rows = _run_state_machine(t, state, key_col, ts_col, value_col, chunk)
+        k, s0, s1, n, v = (list(x) for x in zip(*rows)) if rows else ([], [], [], [], [])
+        dropped = [state.dropped_late] + [0] * (len(rows) - 1) if rows else []
+        return pa.table({
+            key_col: pa.array(k, type=t.schema.field(key_col).type),
+            "session_start_us": pa.array(s0, type=pa.int64()),
+            "session_end_us": pa.array(s1, type=pa.int64()),
+            "n_events": pa.array(n, type=pa.int64()),
+            "sum_value": pa.array(v, type=pa.int64()),
+            "__dropped__": pa.array(dropped, type=pa.int64()),
+        })
+
+    out = partition_apply(
+        ds, key_col, run_shard, num_buckets=num_shards, batch_format="pyarrow"
+    ).to_pandas()
+    dropped = int(out["__dropped__"].sum()) if len(out) else 0
+    out = out.drop(columns=["__dropped__"])
+    out["session_start"] = pd.to_datetime(out["session_start_us"], unit="us")
+    out["session_end"] = pd.to_datetime(out["session_end_us"], unit="us")
+    out = out.drop(columns=["session_start_us", "session_end_us"]).sort_values(
+        [key_col, "session_start"]).reset_index(drop=True)
+    return out, dropped
+
+
 class WatermarkSessionWindow:
     """Keyed SESSION windows with watermark: a record joins a session when
     it lands within ``gap`` of the session's span; a bridging record

@@ -151,3 +151,86 @@ def test_session_bridging_merge():
     assert len(sm.open["x"]) == 1
     s = sm.open["x"][0]
     assert s[2] == 3 and s[3] == 7 and s[0] == base and s[1] == base + 15_000_000
+
+
+def test_sharded_dataset_feed_shard_invariance():
+    """The shard-fed (no global sort, no driver loop) path returns the
+    identical result at num_shards ∈ {1, 4, 16} and equals the batch
+    tumbling aggregate."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.streaming import streaming_tumbling_window_sharded
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(str),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 3 * 86_400_000_000, n), unit="us"),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    outs = []
+    for shards in (1, 4, 16):
+        out, dropped = streaming_tumbling_window_sharded(
+            ds, key_col="k", ts_col="ts", value_col="v",
+            window=pd.Timedelta(hours=6),
+            allowed_lateness=pd.Timedelta(minutes=1),
+            num_shards=shards, chunk=512,
+        )
+        assert dropped == 0
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    exp = (
+        df.assign(ws=df["ts"].dt.floor("6h"))
+        .groupby(["k", "ws"])
+        .agg(n_events=("v", "count"), sum_value=("v", "sum"))
+        .reset_index().rename(columns={"ws": "window_start"})
+        .sort_values(["k", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        outs[0][["k", "window_start", "n_events", "sum_value"]],
+        exp[["k", "window_start", "n_events", "sum_value"]],
+        check_dtype=False,
+    )
+
+
+def test_sharded_session_feed_matches_batch():
+    import ray.data as rd
+
+    from sous_chef_ray.stages.streaming import streaming_session_window_sharded
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype(str),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 86_400_000_000, n), unit="us"),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    out, dropped = streaming_session_window_sharded(
+        ds, key_col="k", ts_col="ts", value_col="v",
+        gap=pd.Timedelta(minutes=30),
+        allowed_lateness=pd.Timedelta(minutes=1),
+        num_shards=4, chunk=256,
+    )
+    assert dropped == 0
+    sdf = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    new = (sdf.groupby("k")["ts"].diff() > pd.Timedelta(minutes=30)) | (
+        sdf.groupby("k")["ts"].diff().isna())
+    sdf["session_id"] = new.groupby(sdf["k"]).cumsum()
+    exp = (
+        sdf.groupby(["k", "session_id"])
+        .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+             n_events=("ts", "count"), sum_value=("v", "sum"))
+        .reset_index().sort_values(["k", "session_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["k", "session_start", "session_end", "n_events", "sum_value"]],
+        exp[["k", "session_start", "session_end", "n_events", "sum_value"]],
+        check_dtype=False,
+    )
