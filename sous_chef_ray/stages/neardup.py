@@ -307,6 +307,110 @@ def connected_components(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def connected_components_distributed(
+    pairs: "rd.Dataset",
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Distributed connected components over a PAIR Dataset → (node, root)
+    Dataset — for pair sets that outgrow the driver union-find.
+
+    Min-label propagation hash-partitioned by node id: each round every
+    node takes the min label over itself and its neighbors (one join +
+    one groupby), then POINTER-JUMPS (label ← label's label, one more
+    join) so chain-shaped components — exactly what ``bucket_cap`` chain
+    pairs produce — converge in O(log n) rounds instead of O(n). Stops
+    when a round changes nothing; each round's label table materializes
+    (it is node-count-sized, far smaller than the corpus).
+    """
+    import ray
+
+    from ray.data.aggregate import Min, Sum
+
+    from sous_chef_ray.stages.join import hash_join
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(2, min(num_partitions or 32, cpus))
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t[id_a].combine_chunks()
+        b = t[id_b].combine_chunks()
+        return pa.table(
+            {
+                "node": pa.chunked_array([a, b]).combine_chunks(),
+                "nbr": pa.chunked_array([b, a]).combine_chunks(),
+            }
+        )
+
+    edges = pairs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # label(x) ← min(x, min neighbor)
+    def self_min(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"node": t["node"],
+             "lbl": pc.min_element_wise(t["node"], t["lbl"])}
+        )
+
+    labels = (
+        edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+        .map_batches(self_min, batch_format="pyarrow")
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # 1. propagate: each edge carries its src label to dst, dst takes min
+        j = hash_join(edges, labels, on="node", num_partitions=n_part).materialize()
+
+        def to_dst(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["nbr"], "cand": t["lbl"]})
+
+        cand = (
+            j.map_batches(to_dst, batch_format="pyarrow")
+            .groupby("node").aggregate(Min("cand", alias_name="cand"))
+            .materialize()
+        )
+        merged = hash_join(labels, cand, on="node",
+                           num_partitions=n_part).materialize()
+
+        def take_min(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            new = pc.min_element_wise(t["lbl"], t["cand"])
+            return pa.table({"node": t["node"], "lbl": new, "old": t["lbl"]})
+
+        stepped = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+
+        # 2. pointer jump: lbl ← lbl's label (labels are node ids, so every
+        #    lbl appears as a node in the label table)
+        lut = stepped.select_columns(["node", "lbl"]).rename_columns(
+            {"node": "lbl", "lbl": "lbl2"}
+        )
+        jumped = hash_join(stepped, lut, on="lbl", join_type="left_outer",
+                           num_partitions=n_part).materialize()
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            new = pc.coalesce(t["lbl2"], t["lbl"])
+            changed = pc.cast(pc.not_equal(new, t["old"]), pa.int64())
+            return pa.table({"node": t["node"], "lbl": new, "changed": changed})
+
+        next_labels = jumped.map_batches(finish, batch_format="pyarrow").materialize()
+        n_changed = next_labels.aggregate(Sum("changed", alias_name="n"))["n"] or 0
+        labels = next_labels.select_columns(["node", "lbl"]).materialize()
+        if not n_changed:
+            break
+
+    return labels.rename_columns({"lbl": "root"})
+
+
 class CharMinHash:
     """Character-shingle MinHash: per document, the minimum of rolling
     polynomial hashes of every ``window``-byte shingle under

@@ -213,3 +213,68 @@ def test_hash_split_deterministic_and_leakage_free():
     c = hash_split(rd.from_pandas(df), "doc_id", fr, seed=2).to_pandas()
     cm = dict(zip(c["doc_id"], c["split"]))
     assert am != cm
+
+
+def _cc_expected(pairs_df: pd.DataFrame) -> dict:
+    from sous_chef_ray.stages.neardup import connected_components
+
+    roots = connected_components(pairs_df)
+    # canonical: every node maps to its component min
+    return dict(roots)
+
+
+def test_connected_components_distributed_matches_union_find():
+    from sous_chef_ray.stages.neardup import connected_components_distributed
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n_nodes, n_edges = 120, 150
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = a != b
+        df = pd.DataFrame({"id_a": np.minimum(a, b)[keep],
+                           "id_b": np.maximum(a, b)[keep]}).drop_duplicates()
+        got = (
+            connected_components_distributed(rd.from_pandas(df).repartition(4))
+            .to_pandas().set_index("node")["root"].to_dict()
+        )
+        exp = _cc_expected(df)
+        assert got == exp, f"trial {trial}: mismatch"
+
+
+def test_connected_components_distributed_partition_invariance():
+    from sous_chef_ray.stages.neardup import connected_components_distributed
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 60, 80).astype(np.int64)
+    b = rng.integers(0, 60, 80).astype(np.int64)
+    keep = a != b
+    df = pd.DataFrame({"id_a": np.minimum(a, b)[keep],
+                       "id_b": np.maximum(a, b)[keep]}).drop_duplicates()
+    results = []
+    for parts in (1, 3, 8):
+        got = (
+            connected_components_distributed(
+                rd.from_pandas(df).repartition(parts), num_partitions=4)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        results.append(got)
+    pd.testing.assert_frame_equal(results[0], results[1])
+    pd.testing.assert_frame_equal(results[0], results[2])
+
+
+def test_connected_components_distributed_chain_converges():
+    """A 200-node chain (what bucket_cap emits for a degenerate bucket)
+    must converge within the bounded rounds via pointer jumping."""
+    from sous_chef_ray.stages.neardup import connected_components_distributed
+
+    n = 200
+    df = pd.DataFrame({"id_a": np.arange(n - 1, dtype=np.int64),
+                       "id_b": np.arange(1, n, dtype=np.int64)})
+    got = (
+        connected_components_distributed(
+            rd.from_pandas(df).repartition(4), max_rounds=12)
+        .to_pandas()
+    )
+    assert (got["root"] == 0).all()
+    assert len(got) == n
