@@ -2265,18 +2265,19 @@ GROUP BY l_returnflag, l_linestatus
 @register("pricing_summary", _PRICING_SQL)
 def pricing_summary(sf_dir: str) -> pd.DataFrame:
     """Q1-style pricing summary: filter → derive → groupby aggregate
-    (SURVEY §2.C2/C3). Partial aggregation happens inside Ray's hash
-    aggregate; the derived money columns are exact integer cents."""
-    li = _read(
-        sf_dir,
-        "lineitem",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_shipdate"],
-    )
+    (SURVEY §2.C2/C3). The shipdate predicate pushes into the parquet
+    read (row-group pruning; l_shipdate never leaves storage); partial
+    aggregation happens inside Ray's hash aggregate; the derived money
+    columns are exact integer cents."""
     cutoff = pa.scalar(np.datetime64("2000-12-01", "us"), type=pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") <= cutoff,
+    )
 
     def derive(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         base_e2 = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
         disc_price = pc.multiply(
             t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
