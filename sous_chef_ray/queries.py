@@ -2146,17 +2146,24 @@ def knn_ivf_top5(sf_dir: str):
 @register("multimodal_decode")  # binary decode → rows-only
 def multimodal_decode(sf_dir: str):
     """Binary media column → per-image feature rows via the actor-pool
-    decode stage, now with a REAL decode path: payloads are genuine PNG
-    files decoded to exact pixels by the pure-stdlib codec
-    (stages/png.py); pixel stats + 32×32 thumbnails are true values.
-    Codecs absent from this container (JPEG/audio/video) remain the
-    declared NotImplementedError boundary."""
+    decode stage with REAL codecs: a mixed corpus of genuine PNG files
+    (exact pixels, stages/png.py) and genuine baseline JPEG files
+    (Huffman + IDCT, stages/jpeg.py — 4:4:4 and 4:2:0 payloads); pixel
+    stats + 32×32 thumbnails are true values. Progressive JPEG / video
+    remain the declared NotImplementedError boundary."""
     import ray.data as rd
 
-    from sous_chef_ray.stages.multimodal import decode_images, synth_png_table
+    from sous_chef_ray.stages.multimodal import (
+        decode_images,
+        synth_jpeg_table,
+        synth_png_table,
+    )
 
-    imgs = rd.from_arrow(synth_png_table(256, seed=42))
-    out = decode_images(imgs, fake=False, concurrency=2, batch_size=32)
+    imgs = pa.concat_tables(
+        [synth_png_table(192, seed=42), synth_jpeg_table(64, seed=43)]
+    )
+    out = decode_images(rd.from_arrow(imgs), fake=False, concurrency=2,
+                        batch_size=32)
     return out.drop_columns(["thumbnail"])  # driver hash: keep scalar cols
 
 

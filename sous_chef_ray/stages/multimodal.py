@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL for PNG: ``stages/png.py`` is a pure-stdlib
-(zlib + numpy) PNG codec, so ``decode_images(..., fake=False)`` decodes
-genuine PNG payloads to exact pixels and emits true pixel statistics +
-thumbnails with zero external dependencies. Other codecs (JPEG, audio,
-video) remain a declared stub: ``mime`` values without a decoder raise
-NotImplementedError at the exact plug-in point (Pillow/libvips/ffmpeg).
-``fake=True`` keeps the deterministic byte-stream fake for tests that
-don't care about pixels.
+Image decode is REAL for PNG and baseline JPEG: ``stages/png.py`` is a
+pure-stdlib (zlib + numpy) PNG codec and ``stages/jpeg.py`` a pure-numpy
+baseline JFIF codec (Huffman + IDCT, 4:4:4 / 4:2:0, restart markers), so
+``decode_images(..., fake=False)`` decodes genuine payloads to pixels
+and emits true pixel statistics + thumbnails with zero external
+dependencies. Remaining codecs (progressive JPEG, video) are a declared
+stub: ``mime`` values without a decoder raise NotImplementedError at the
+exact plug-in point (Pillow/libvips/ffmpeg). ``fake=True`` keeps the
+deterministic byte-stream fake for tests that don't care about pixels.
 
 Design notes for 100 TB: binary payloads dominate block size — these
 stages run with small ``batch_size`` and ``target_max_block_size`` should
@@ -61,17 +62,19 @@ class DecodeImages:
     batch of binary rows and emits fixed-width feature columns.
 
     ``fake=False``: real decode — PNG payloads (mime image/png) through
-    the pure-stdlib codec in stages/png.py; any other mime raises
-    NotImplementedError (the declared stub boundary for codecs this
-    container lacks). ``fake=True``: deterministic byte-stream fake."""
+    the pure-stdlib codec in stages/png.py, baseline JPEG (image/jpeg)
+    through stages/jpeg.py; any other mime raises NotImplementedError
+    (the declared stub boundary for codecs this container lacks).
+    ``fake=True``: deterministic byte-stream fake."""
 
     def __init__(self, fake: bool = True, resize_to: int = 32):
         self.fake = fake
         self.resize_to = resize_to
         if not fake:
+            from sous_chef_ray.stages.jpeg import decode_jpeg
             from sous_chef_ray.stages.png import decode_png, nn_resize
 
-            self.decoders = {"image/png": decode_png}
+            self.decoders = {"image/png": decode_png, "image/jpeg": decode_jpeg}
             self.resize = nn_resize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -191,6 +194,41 @@ def synth_png_table(n: int, seed: int = 42, return_pixels: bool = False):
             "payload": pa.array([encode_png(p) for p in pixels],
                                 type=pa.large_binary()),
             "mime": pa.array(["image/png"] * n),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+        }
+    )
+    return (tbl, pixels) if return_pixels else tbl
+
+
+def synth_jpeg_table(n: int, seed: int = 42, return_pixels: bool = False):
+    """Deterministic REAL baseline-JPEG payloads (encoded with
+    stages/jpeg.py) — smooth gradients so the lossy roundtrip stays
+    within tight pixel tolerances; alternates 4:4:4 and 4:2:0."""
+    from sous_chef_ray.stages.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(16, 96, n).astype(np.int32)
+    heights = rng.integers(16, 96, n).astype(np.int32)
+    pixels = []
+    for w, h in zip(widths, heights):
+        yy, xx = np.mgrid[0:int(h), 0:int(w)]
+        phase = rng.uniform(0, 6.0, 3)
+        img = np.stack([
+            128 + 100 * np.sin(xx / 11 + phase[0]),
+            128 + 100 * np.cos(yy / 13 + phase[1]),
+            128 + 100 * np.sin((xx + yy) / 17 + phase[2]),
+        ], axis=-1).clip(0, 255).astype(np.uint8)
+        pixels.append(img)
+    payloads = [
+        encode_jpeg(p, quality=92, subsampling="4:2:0" if i % 2 else "4:4:4")
+        for i, p in enumerate(pixels)
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array([f"img{i:06d}" for i in range(n)]),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "mime": pa.array(["image/jpeg"] * n),
             "width": pa.array(widths),
             "height": pa.array(heights),
         }

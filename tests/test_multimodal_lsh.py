@@ -32,7 +32,7 @@ def test_decode_images_schema_and_determinism():
 
 
 def test_decode_unknown_mime_is_stubbed():
-    """Real-decode mode works for PNG; any other codec remains the
+    """Real-decode mode works for PNG/JPEG; any other codec remains the
     declared NotImplementedError boundary."""
     import pyarrow as pa
 
@@ -40,7 +40,7 @@ def test_decode_unknown_mime_is_stubbed():
     batch = pa.table({
         "media_id": pa.array(["x"]),
         "payload": pa.array([b"\x00\x01"], type=pa.large_binary()),
-        "mime": pa.array(["image/jpeg"]),
+        "mime": pa.array(["video/mp4"]),
         "width": pa.array([1], type=pa.int32()),
         "height": pa.array([1], type=pa.int32()),
     })
@@ -113,6 +113,64 @@ def test_decode_real_png_pixel_stats():
         assert row["width"] == truth.shape[1] and row["height"] == truth.shape[0]
         assert abs(row["mean_px"] - px.mean()) < 1e-9
         assert abs(row["std_px"] - px.std()) < 1e-9
+        assert len(row["thumbnail"]) == 32 * 32 * 3
+
+
+def test_jpeg_codec_roundtrip_variants():
+    """Baseline JPEG encode→decode stays within lossy tolerances across
+    quality, subsampling, grayscale and restart-interval variants."""
+    from sous_chef_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 50, 70
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        128 + 100 * np.sin(xx / 9) * np.cos(yy / 7),
+        xx * 255 / w,
+        yy * 255 / h,
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 3):
+            data = encode_jpeg(img, quality=90, subsampling=sub,
+                               restart_interval=ri)
+            assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+            out = decode_jpeg(data)
+            assert out.shape == img.shape
+            err = np.abs(out.astype(float) - img.astype(float))
+            assert err.mean() < 3.5 and err.max() <= 20, (sub, ri)
+    gray = (xx * 255 / w).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=92))
+    assert out.shape == gray.shape
+    assert np.abs(out.astype(float) - gray.astype(float)).max() <= 3
+
+
+def test_jpeg_progressive_is_declared_boundary():
+    from sous_chef_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.zeros((16, 16), dtype=np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_real_jpeg_pixel_stats():
+    import ray.data as rd
+
+    from sous_chef_ray.stages.jpeg import decode_jpeg
+    from sous_chef_ray.stages.multimodal import decode_images, synth_jpeg_table
+
+    imgs, pixel_truth = synth_jpeg_table(12, seed=5, return_pixels=True)
+    out = decode_images(rd.from_arrow(imgs), fake=False, concurrency=2,
+                        batch_size=4).to_pandas().sort_values("media_id")
+    payloads = imgs["payload"].to_pylist()
+    for (_, row), truth, payload in zip(out.iterrows(), pixel_truth, payloads):
+        assert row["width"] == truth.shape[1] and row["height"] == truth.shape[0]
+        # stage stats must equal a direct decode exactly...
+        px = decode_jpeg(payload).astype(np.float64)
+        assert abs(row["mean_px"] - px.mean()) < 1e-9
+        assert abs(row["std_px"] - px.std()) < 1e-9
+        # ...and track the pre-encode truth within lossy tolerance
+        assert abs(row["mean_px"] - truth.astype(np.float64).mean()) < 3.0
         assert len(row["thumbnail"]) == 32 * 32 * 3
 
 
