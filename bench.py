@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "clicks_in_purchase_window",  # interval join (round 2)
     "event_type_pivot",           # conditional-agg pivot (round 2)
+    "streaming_tumbling_by_user",  # shard-fed watermark windows (round 3)
 ]
 
 

@@ -1102,6 +1102,54 @@ def lineitem_rollup(sf_dir: str):
     return out
 
 
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("lineitem_grouping_sets", _GROUPING_SETS_SQL)
+def lineitem_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((a), (b), ()): every set re-aggregates
+    from ONE pre-aggregated (a, b) base — the raw table streams once and
+    the base (|a|×|b| rows) is driver-sized; each set is a pandas
+    re-group with typed-null padding for the absent key."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                             pa.int64()),
+        })
+
+    base = (
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="price_cents"))
+        .to_pandas()
+    )
+    by_flag = base.groupby("l_returnflag", as_index=False)[["n", "price_cents"]].sum()
+    by_flag["l_linestatus"] = None
+    by_status = base.groupby("l_linestatus", as_index=False)[["n", "price_cents"]].sum()
+    by_status["l_returnflag"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "n": [base["n"].sum()], "price_cents": [base["price_cents"].sum()],
+    })
+    out = pd.concat(
+        [by_flag, by_status, total], ignore_index=True
+    )[["l_returnflag", "l_linestatus", "n", "price_cents"]]
+    out["n"] = out["n"].astype("int64")
+    out["price_cents"] = out["price_cents"].astype("int64")
+    return out
+
+
 _STREAMING_SQL = """
 SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1928,6 +1976,33 @@ def minhash_neardup_pairs(sf_dir: str):
         concurrency=2,
     ).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@register("neardup_doc_clusters")  # iterative graph algo → rows-only check
+def neardup_doc_clusters(sf_dir: str):
+    """End-to-end dedup clustering, every stage distributed: MinHash+LSH
+    candidates → exact-Jaccard verify (candidate-only shingle joins) →
+    connected components by min-label propagation + pointer jumping
+    (stages/neardup.connected_components_distributed) → (doc_id, cluster)
+    rows. The driver only ever holds the final cluster assignment."""
+    from sous_chef_ray.stages.neardup import (
+        connected_components_distributed,
+        jaccard_verify_distributed,
+        minhash_lsh_candidates,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, concurrency=2
+    )
+    verified = jaccard_verify_distributed(
+        cand, docs, "doc_id", "text", k=3, threshold=0.5, num_partitions=8,
+        concurrency=2,
+    ).select_columns(["id_a", "id_b"])
+    roots = connected_components_distributed(verified).to_pandas()
+    return roots.sort_values("node").reset_index(drop=True).rename(
+        columns={"node": "doc_id", "root": "cluster"}
+    )
 
 
 @register("simhash_signatures")  # rows-only
