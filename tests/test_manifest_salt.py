@@ -162,3 +162,17 @@ def test_nul_keys_bucket_deterministically():
     sums = dict(zip(out["k"], out["n"]))
     assert sums["hot\x000"] == 80 and sums["hot\x001"] == 80
     assert sums["cold"] == 40
+
+
+def test_keys_with_unit_separator_hash_batch_independently():
+    """A key containing \\x1f (the salt separator) must land in the same
+    bucket whether or not a NUL-bearing key shares its batch — the escape
+    fires on either byte (round-3 ADVICE fix)."""
+    from sous_chef_ray.stages._util import nul_safe_key_strings
+
+    import pyarrow as pa
+
+    key = "user\x1f3"
+    alone = nul_safe_key_strings(pa.array([key]))
+    with_nul = nul_safe_key_strings(pa.array([key, "evil\x00key"]))
+    assert alone[0].as_py() == with_nul[0].as_py()

@@ -134,3 +134,24 @@ def test_hll_grouped_aggregate_v2():
     for _, r in out.iterrows():
         e = exact[r["g"]]
         assert abs(r["nd"] - e) / e < 0.05, (r["g"], r["nd"], e)
+
+
+def test_hll_grouped_ignores_nulls():
+    """ignore_nulls=True (default): a null row must not add a phantom
+    distinct value to its group's HLL."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import HllDistinct
+
+    df = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 50,
+        "u": [f"u{i}" for i in range(50)] + [None] * 50,
+    })
+    out = (
+        rd.from_pandas(df).groupby("g")
+        .aggregate(HllDistinct(on="u", p=12, alias_name="nd"))
+        .to_pandas().set_index("g")["nd"]
+    )
+    assert abs(out["a"] - 50) / 50 < 0.1
+    assert out["b"] == 0.0

@@ -95,3 +95,35 @@ def test_session_exact_boundary():
         .to_pandas().sort_values("ts").reset_index(drop=True)
     )
     assert list(out["session_id"]) == [1, 1, 2]
+
+
+def test_rolling_and_running_sum_skip_nulls():
+    """A null value must not poison later rolling/running sums (SQL SUM
+    skips nulls; COUNT(col) counts non-null only; all-null frame → NULL)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.window import with_rolling_sum_count, with_running_sum
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "ts": list(range(5)) + [0, 1],
+        "v": [1.0, None, 3.0, None, 5.0, None, None],
+    })
+    out = (
+        with_rolling_sum_count(rd.from_pandas(df), "k", "ts", "v", window=2,
+                               num_buckets=2)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert list(out[out["k"] == "a"]["rolling_sum"]) == [1.0, 1.0, 3.0, 3.0, 5.0]
+    assert list(out[out["k"] == "a"]["rolling_cnt"]) == [1, 1, 1, 1, 1]
+    b = out[out["k"] == "b"]
+    assert b["rolling_sum"].isna().all()  # all-null frames -> NULL like SQL
+    assert list(b["rolling_cnt"]) == [0, 0]
+
+    run = (
+        with_running_sum(rd.from_pandas(df), "k", "ts", "v", num_buckets=2)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert list(run[run["k"] == "a"]["running_sum"]) == [1.0, 1.0, 4.0, 4.0, 9.0]
+    assert run[run["k"] == "b"]["running_sum"].isna().all()
