@@ -769,6 +769,44 @@ def rolling_event_value(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+_CENTERED_ROLLING_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS centered_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS centered_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+@register("centered_rolling_event_value", _CENTERED_ROLLING_SQL)
+def centered_rolling_event_value(sf_dir: str):
+    """Centered frame: ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING — the
+    lookahead side of §2.C10, same prefix-sum kernel with a clipped
+    group-end upper bound (stages/window.with_rolling_sum_count
+    following=2)."""
+    from sous_chef_ray.stages.window import with_rolling_sum_count
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"], "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    out = with_rolling_sum_count(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", ["ts", "event_id"], "cents", window=3, following=2,
+        sum_name="centered_cents", cnt_name="centered_cnt",
+        num_buckets=_buckets(sf_dir, "events"),
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "centered_cents", "centered_cnt"]
+    )
+
+
 _ROLLING_TIME_SQL = """
 SELECT user_id, event_id, ts,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
@@ -1100,6 +1138,26 @@ def lineitem_rollup(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["price_cents"] = out["price_cents"].astype("int64")
     return out
+
+
+_FREQ_ITEMS_SQL = """
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+FROM events GROUP BY event_type
+"""
+
+
+@register("frequent_event_types", _FREQ_ITEMS_SQL)
+def frequent_event_types(sf_dir: str):
+    """Misra-Gries heavy hitters (stages/sketch.frequent_items): the
+    shuffle moves ≤ k (item, count) counters per block. With distinct
+    items ≤ k the sketch is EXACT, so this checks against the plain
+    GROUP BY COUNT oracle; the approximate guarantee (containment of
+    items with freq > n/(k+1)) is pytest-pinned on Zipf data."""
+    from sous_chef_ray.stages.sketch import frequent_items
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    out = frequent_items(ev, "event_type", k=32)
+    return out.sort_values("item").reset_index(drop=True)
 
 
 _GROUPING_SETS_SQL = """

@@ -329,3 +329,64 @@ try:  # AggregateFnV2 is the Ray 2.4x custom-aggregate interface
 
 except ImportError:  # pragma: no cover - older Ray without V2
     HllDistinct = None
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (frequent items) — mergeable
+# ---------------------------------------------------------------------------
+
+def mg_summarize(counts: dict, k: int) -> dict:
+    """Reduce an exact {item: count} map to ≤ k Misra-Gries counters:
+    repeatedly decrement all counters by the (k+1)-th largest and drop
+    non-positives (equivalent closed form: subtract that pivot once).
+    Guarantee: est(x) ≤ true(x) ≤ est(x) + (n_decremented / (k+1))."""
+    if len(counts) <= k:
+        return dict(counts)
+    vals = np.fromiter(counts.values(), dtype=np.int64)
+    pivot = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+    out = {item: c - pivot for item, c in counts.items() if c > pivot}
+    if len(out) > k:  # ties at the pivot
+        out = dict(sorted(out.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k])
+    return out
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    """Merge two MG summaries (Agarwal et al. 2012: pointwise add, then
+    one more MG reduction) — associative up to the error bound, so
+    per-block partials can combine in any tree shape."""
+    merged = dict(a)
+    for item, c in b.items():
+        merged[item] = merged.get(item, 0) + c
+    return mg_summarize(merged, k)
+
+
+def frequent_items(
+    ds: "rd.Dataset", col: str, k: int = 32, top: int | None = None
+) -> pd.DataFrame:
+    """Approximate top-``top`` heavy hitters of ``col``: per-block exact
+    value_counts collapse to k Misra-Gries counters (the shuffle moves
+    ≤ k (item, count) pairs per block, never values), merged on the
+    driver. Any item with true frequency > n/(k+1) is guaranteed
+    present. Useful at 100 TB as the hot-key detector feeding
+    stages/salt.detect_hot_keys-style salting decisions."""
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        summary = mg_summarize(
+            {i: int(c) for i, c in vc.items()}, k
+        )
+        items = list(summary.keys())
+        return pd.DataFrame({
+            "item": pd.Series(items, dtype=df[col].dtype),
+            "cnt": pd.Series([summary[i] for i in items], dtype="int64"),
+        })
+
+    merged: dict = {}
+    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        merged = mg_merge(merged, dict(zip(batch["item"], batch["cnt"])), k)
+    rows = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    if top is not None:
+        rows = rows[:top]
+    return pd.DataFrame(rows, columns=["item", "est_count"])

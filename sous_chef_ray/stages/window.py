@@ -206,24 +206,35 @@ def with_rolling_sum_count(
     sum_name: str = "rolling_sum",
     cnt_name: str = "rolling_cnt",
     num_buckets: int = 64,
+    following: int = 0,
 ) -> "rd.Dataset":
-    """Moving-window ROWS BETWEEN (window-1) PRECEDING AND CURRENT ROW:
-    exact rolling sum + count of ``col`` via prefix sums
-    (sum[i] = cs[i] - cs[win_start-1], O(n) per bucket). Pass an
+    """Moving-window ROWS BETWEEN (window-1) PRECEDING AND ``following``
+    FOLLOWING (default 0 = CURRENT ROW; >0 gives a centered/lookahead
+    frame): exact rolling sum + count of ``col`` via prefix sums
+    (sum[i] = cs[hi] - cs[win_start-1], O(n) per bucket). Pass an
     integer-scaled column for exact float semantics (see queries.py
     determinism note)."""
     keys, order = _as_list(partition_by), _as_list(order_by)
 
     def fn(t: pa.Table) -> pa.Table:
-        t, _, group_start, arange = _sorted_with_bounds(t, keys, order, False)
+        t, key_change, group_start, arange = _sorted_with_bounds(t, keys, order, False)
+        n = len(t)
         v, nn = _filled_values(t, col)
         cs = np.cumsum(v)
         csn = np.cumsum(nn)
         win_start = np.maximum(group_start, arange - window + 1)
+        if following:
+            # group_end[i] = last row index of i's key run
+            run_starts = np.nonzero(key_change)[0]
+            run_ends = np.append(run_starts[1:], n) - 1 if n else run_starts
+            group_end = np.repeat(run_ends, np.diff(np.append(run_starts, n)))
+            hi = np.minimum(group_end, arange + following)
+        else:
+            hi = arange
         left = np.where(win_start > 0, cs[win_start - 1], 0)
         left_n = np.where(win_start > 0, csn[win_start - 1], 0)
-        cnts = csn - left_n
-        t = t.append_column(sum_name, pa.array(cs - left, mask=cnts == 0))
+        cnts = csn[hi] - left_n
+        t = t.append_column(sum_name, pa.array(cs[hi] - left, mask=cnts == 0))
         t = t.append_column(cnt_name, pa.array(cnts))
         return t
 

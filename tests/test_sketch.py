@@ -155,3 +155,40 @@ def test_hll_grouped_ignores_nulls():
     )
     assert abs(out["a"] - 50) / 50 < 0.1
     assert out["b"] == 0.0
+
+
+def test_misra_gries_exact_when_under_capacity():
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import frequent_items
+
+    df = pd.DataFrame({"v": ["a"] * 70 + ["b"] * 20 + ["c"] * 10})
+    out = frequent_items(rd.from_pandas(df).repartition(4), "v", k=8)
+    assert dict(zip(out["item"], out["est_count"])) == {"a": 70, "b": 20, "c": 10}
+
+
+def test_misra_gries_zipf_heavy_hitter_guarantee():
+    """Every item with true frequency > n/(k+1) must be present, with
+    estimate ≤ true ≤ estimate + n/(k+1); partition count must not
+    change containment."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import frequent_items
+
+    rng = np.random.default_rng(11)
+    n, k = 40000, 16
+    vals = rng.zipf(1.6, n).astype(np.int64)
+    vals = np.minimum(vals, 1000)
+    df = pd.DataFrame({"v": vals})
+    truth = df["v"].value_counts()
+    for parts in (2, 10):
+        out = frequent_items(rd.from_pandas(df).repartition(parts), "v", k=k)
+        est = dict(zip(out["item"], out["est_count"]))
+        bound = n / (k + 1)
+        for item, true_c in truth.items():
+            if true_c > bound:
+                assert item in est, (item, true_c, bound)
+                assert est[item] <= true_c <= est[item] + bound
