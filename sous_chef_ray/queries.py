@@ -1140,6 +1140,41 @@ def lineitem_rollup(sf_dir: str):
     return out
 
 
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+@register("lineitem_unpivot", _UNPIVOT_SQL)
+def lineitem_unpivot(sf_dir: str):
+    """UNPIVOT/melt: wide numeric columns → (metric, value) long rows,
+    one vectorized per-batch explode (3× rows out, zero-copy key
+    replication) — the inverse of the conditional-agg pivot."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_discount", "l_tax"])
+    metrics = ["l_quantity", "l_discount", "l_tax"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys_ok = pa.chunked_array([t["l_orderkey"]] * len(metrics)).combine_chunks()
+        keys_ln = pa.chunked_array([t["l_linenumber"]] * len(metrics)).combine_chunks()
+        metric = pa.array(np.repeat(np.asarray(metrics, dtype=object), n),
+                          type=pa.string())
+        value = pa.chunked_array([t[m] for m in metrics]).combine_chunks()
+        return pa.table({
+            "l_orderkey": keys_ok, "l_linenumber": keys_ln,
+            "metric": metric, "value": value,
+        })
+
+    return li.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _FREQ_ITEMS_SQL = """
 SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
 FROM events GROUP BY event_type
