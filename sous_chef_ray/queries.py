@@ -110,6 +110,66 @@ def asof_last_purchase(sf_dir: str) -> pa.Table:
     )
 
 
+_ASOF_FWD_SQL = """
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     fraw AS (SELECT user_id, ts AS fts, event_id, value FROM events
+              WHERE event_type = 'click'),
+     f AS (SELECT * FROM fraw
+           QUALIFY row_number() OVER (PARTITION BY user_id, fts
+                                      ORDER BY event_id DESC) = 1),
+     j AS (SELECT s.user_id, s.ts, f.fts, f.value
+           FROM s ASOF LEFT JOIN f
+             ON s.user_id = f.user_id AND f.fts >= s.ts)
+SELECT user_id, ts,
+       CASE WHEN fts <= ts + INTERVAL 7 DAY THEN value END AS next_click_value
+FROM j
+"""
+
+
+@register("asof_next_click", _ASOF_FWD_SQL)
+def asof_next_click(sf_dir: str) -> pa.Table:
+    """FORWARD as-of: for every purchase, the value of the user's FIRST
+    click at-or-after it (lookahead TTL 7 days; equal-ts ties break to
+    the largest event_id) — asof_join_broadcast(direction='forward'),
+    same two-pass streaming plan as the backward flagship."""
+    from sous_chef_ray.stages.asof import asof_join_broadcast
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id", "value"])
+
+    def to_feats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({"user_id": t["user_id"], "fts": t["ts"],
+                         "event_id": t["event_id"], "value": t["value"]})
+
+    feats = ev.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
+    spine_batches = [
+        b.filter(pc.equal(b["event_type"], "purchase")).select(["user_id", "ts"])
+        for b in ev.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    spine = pa.concat_tables(spine_batches)
+    out = asof_join_broadcast(
+        feats,
+        spine,
+        key="user_id",
+        spine_ts="ts",
+        feature_ts="fts",
+        tie_col="event_id",
+        payload_cols=["value"],
+        ttl=pd.Timedelta(days=7),
+        concurrency=2,
+        batch_size=8192,
+        direction="forward",
+    )
+    return pa.table(
+        {
+            "user_id": out["user_id"],
+            "ts": out["ts"],
+            "next_click_value": out["value"],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4/C5/C6: count distinct, exact quantile, array_agg
 # ---------------------------------------------------------------------------

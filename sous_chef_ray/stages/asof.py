@@ -93,6 +93,7 @@ class _AsofCandidates:
         tie_col: Optional[str],
         payload_cols: List[str],
         ttl_us: Optional[int],
+        direction: str = "backward",
     ):
         self.spine = _cached_sorted_spine(spine_ref)
         self.key = key
@@ -100,6 +101,7 @@ class _AsofCandidates:
         self.tie_col = tie_col
         self.payload_cols = payload_cols
         self.ttl_us = ttl_us
+        self.direction = direction
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -112,10 +114,13 @@ class _AsofCandidates:
         )
         if self.tie_col is not None:
             small["__tie__"] = _ts_to_int(batch[self.tie_col])
-            # stable two-pass sort: within equal __fts__ ascending __tie__,
-            # so merge_asof (which keeps the LAST of equal keys) applies the
-            # latest-created tie-break for free
-            small = small.sort_values("__tie__", kind="mergesort")
+            # stable two-pass sort: within equal __fts__, order __tie__ so
+            # merge_asof's duplicate rule (backward keeps the LAST equal
+            # row, forward the FIRST) lands on the LARGEST tie either way
+            small = small.sort_values(
+                "__tie__", kind="mergesort",
+                ascending=self.direction == "backward",
+            )
         else:
             small["__tie__"] = small["__fts__"]
         small = small.sort_values("__fts__", kind="mergesort")
@@ -133,7 +138,7 @@ class _AsofCandidates:
             left_on="__ts__",
             right_on="__fts__",
             by=self.key,
-            direction="backward",
+            direction=self.direction,
             allow_exact_matches=True,
             tolerance=self.ttl_us,
         )
@@ -178,8 +183,14 @@ def asof_join_broadcast(
     slim_features: Optional["ray.data.Dataset"] = None,
     candidate_reduce: str = "auto",
     strategy: str = "auto",
+    direction: str = "backward",
 ) -> pa.Table:
     """Point-in-time join of a big feature Dataset onto a small spine.
+
+    ``direction``: ``"backward"`` (default, the point-in-time contract —
+    largest feature_ts ≤ ts, TTL bounds how stale) or ``"forward"`` —
+    smallest feature_ts ≥ ts, TTL bounds how far ahead; ties on equal
+    feature_ts still break to the largest ``tie_col`` in both directions.
 
     ``strategy``: ``"two_phase"`` runs a slim candidate pass then a
     payload fetch pass — right when payloads are wide (token arrays:
@@ -269,7 +280,9 @@ def asof_join_broadcast(
         tie_col=tie_col,
         payload_cols=payload_cols if single_pass else [],
         ttl_us=ttl_us,
+        direction=direction,
     )
+    forward = direction == "forward"
 
     def gen_cands(batch: pa.Table) -> pa.Table:
         # stateless task: constructing the op is cheap (spine comes from
@@ -293,8 +306,11 @@ def asof_join_broadcast(
         # columns riding along under single_pass (timestamp us→ns, nullable
         # int64→float64) and break the typed assembly below.
         def best_per_sidx(t: pa.Table) -> pa.Table:
+            # last-per-sidx wins: largest fts (backward) / smallest
+            # (forward), then largest tie
             t = t.sort_by(
-                [("__spine_idx__", "ascending"), ("__fts__", "ascending"),
+                [("__spine_idx__", "ascending"),
+                 ("__fts__", "descending" if forward else "ascending"),
                  ("__tie__", "ascending")]
             )
             s = t["__spine_idx__"].to_numpy()
@@ -320,7 +336,9 @@ def asof_join_broadcast(
     sidx = cand_tbl["__spine_idx__"].to_numpy()
     fts = cand_tbl["__fts__"].to_numpy()
     tie = cand_tbl["__tie__"].to_numpy()
-    order = np.lexsort((tie, fts, sidx))  # ascending; last per sidx wins
+    # last per sidx wins: largest fts (backward) / smallest (forward),
+    # then largest tie
+    order = np.lexsort((tie, -fts if forward else fts, sidx))
     sidx_sorted = sidx[order]
     last_mask = np.empty(len(sidx_sorted), dtype=bool)
     last_mask[:-1] = sidx_sorted[1:] != sidx_sorted[:-1]

@@ -246,3 +246,67 @@ def test_single_pass_strategy_matches_two_phase(data):
         two.sort_values(key).reset_index(drop=True),
         one.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_forward_direction_matches_duckdb_oracle(data):
+    """direction='forward': smallest event_ts >= spine ts within the
+    lookahead TTL, equal-ts ties to the largest created_ts."""
+    features, spine = data
+    ttl = pd.Timedelta(days=TTL_DAYS)
+    got = asof_join_broadcast(
+        rd.from_arrow(features).repartition(6),
+        spine,
+        key="doc_id", spine_ts="event_timestamp", feature_ts="event_ts",
+        tie_col="created_ts", payload_cols=["tokens", "n_tok", "source"],
+        ttl=ttl, concurrency=2, batch_size=512, direction="forward",
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.register("f", features)
+    con.register("s", spine)
+    exp = con.execute(f"""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id, event_ts ORDER BY created_ts DESC) AS rn
+        FROM f) WHERE rn = 1
+    ),
+    j AS (
+      SELECT s.doc_id, s.event_timestamp, d.event_ts AS f_ts,
+             d.tokens, d.n_tok, d.source
+      FROM s ASOF LEFT JOIN dedup d
+        ON s.doc_id = d.doc_id AND d.event_ts >= s.event_timestamp
+    )
+    SELECT doc_id, event_timestamp,
+      CASE WHEN f_ts <= event_timestamp + INTERVAL {TTL_DAYS} DAY THEN tokens END AS tokens,
+      CASE WHEN f_ts <= event_timestamp + INTERVAL {TTL_DAYS} DAY THEN n_tok END AS n_tok,
+      CASE WHEN f_ts <= event_timestamp + INTERVAL {TTL_DAYS} DAY THEN source END AS source
+    FROM j
+    """).df()
+    pd.testing.assert_frame_equal(_normalize(got), _normalize(exp))
+
+
+def test_forward_zero_lookbehind(data):
+    """Forward join must never return a feature from BEFORE the spine ts
+    (the mirror of the zero-leakage property)."""
+    features, spine = data
+    got = asof_join_broadcast(
+        rd.from_arrow(features).repartition(4),
+        spine,
+        key="doc_id", spine_ts="event_timestamp", feature_ts="event_ts",
+        tie_col="created_ts", payload_cols=["n_tok"],
+        ttl=pd.Timedelta(days=TTL_DAYS), concurrency=2, batch_size=512,
+        direction="forward",
+    ).to_pandas()
+    f = features.to_pandas()
+    lookup = f.sort_values(["doc_id", "event_ts"]).groupby("doc_id")
+    # reconstruct each matched feature_ts by joining back on (doc_id, n_tok)
+    # is ambiguous; instead assert via the oracle-free invariant: every
+    # non-null match must have SOME feature row at >= spine ts
+    has_future = {
+        k: g["event_ts"].to_numpy() for k, g in lookup
+    }
+    for doc, ts, n_tok in zip(got["doc_id"], got["event_timestamp"], got["n_tok"]):
+        if pd.notna(n_tok):
+            fts = has_future.get(doc)
+            assert fts is not None and (fts >= np.datetime64(ts)).any()
