@@ -717,14 +717,16 @@ _RANK_SQL = """
 SELECT o_custkey, o_orderkey,
        row_number() OVER (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS drnk
 FROM orders
 """
 
 
 @register("order_rank_per_customer", _RANK_SQL)
 def order_rank_per_customer(sf_dir: str):
-    """ROW_NUMBER + RANK per partition (SURVEY §2.C7)."""
+    """ROW_NUMBER + RANK + DENSE_RANK per partition (SURVEY §2.C7)."""
     from sous_chef_ray.stages.window import with_rank, with_row_number
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
@@ -734,7 +736,9 @@ def order_rank_per_customer(sf_dir: str):
     )
     out = with_rank(out, "o_custkey", "o_totalprice", descending=True,
                     name="rnk", num_buckets=_buckets(sf_dir, "orders"))
-    return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk"])
+    out = with_rank(out, "o_custkey", "o_totalprice", descending=True,
+                    name="drnk", dense=True, num_buckets=_buckets(sf_dir, "orders"))
+    return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk", "drnk"])
 
 
 # ---------------------------------------------------------------------------
