@@ -170,6 +170,73 @@ def asof_next_click(sf_dir: str) -> pa.Table:
     )
 
 
+_ASOF_MULTIKEY_SQL = """
+WITH s AS (SELECT l_partkey, l_suppkey, l_shipdate FROM lineitem
+           WHERE l_linenumber = 1),
+     fraw AS (SELECT l_partkey, l_suppkey, l_shipdate AS fts, l_orderkey,
+                     l_quantity
+              FROM lineitem WHERE l_linenumber > 1),
+     f AS (SELECT * FROM fraw
+           QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey, fts
+                                      ORDER BY l_orderkey DESC) = 1),
+     j AS (SELECT s.l_partkey, s.l_suppkey, s.l_shipdate, f.fts, f.l_quantity
+           FROM s ASOF LEFT JOIN f
+             ON s.l_partkey = f.l_partkey AND s.l_suppkey = f.l_suppkey
+            AND f.fts <= s.l_shipdate)
+SELECT l_partkey, l_suppkey, l_shipdate,
+       l_quantity AS prev_shipment_qty
+FROM j
+"""
+
+
+@register("asof_prev_shipment_multikey", _ASOF_MULTIKEY_SQL)
+def asof_prev_shipment_multikey(sf_dir: str) -> pa.Table:
+    """MULTI-KEY as-of: for each first-line lineitem, the latest later-line
+    shipment of the same (l_partkey, l_suppkey) at-or-before its shipdate
+    (equal-date ties → largest l_orderkey). Exercises the composite-key
+    path (key=[...] composes an injective synthetic key on both sides)."""
+    from sous_chef_ray.stages.asof import asof_join_broadcast
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_linenumber",
+                        "l_shipdate", "l_orderkey", "l_quantity"])
+
+    def to_feats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_linenumber"], 1))
+        return pa.table({
+            "l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"],
+            "fts": t["l_shipdate"], "l_orderkey": t["l_orderkey"],
+            "l_quantity": t["l_quantity"],
+        })
+
+    feats = li.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
+    spine_batches = [
+        b.filter(pc.equal(b["l_linenumber"], 1)).select(
+            ["l_partkey", "l_suppkey", "l_shipdate"])
+        for b in li.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    spine = pa.concat_tables(spine_batches)
+    out = asof_join_broadcast(
+        feats,
+        spine,
+        key=["l_partkey", "l_suppkey"],
+        spine_ts="l_shipdate",
+        feature_ts="fts",
+        tie_col="l_orderkey",
+        payload_cols=["l_quantity"],
+        concurrency=2,
+        batch_size=8192,
+    )
+    return pa.table(
+        {
+            "l_partkey": out["l_partkey"],
+            "l_suppkey": out["l_suppkey"],
+            "l_shipdate": out["l_shipdate"],
+            "prev_shipment_qty": out["l_quantity"],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4/C5/C6: count distinct, exact quantile, array_agg
 # ---------------------------------------------------------------------------

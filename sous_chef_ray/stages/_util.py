@@ -15,6 +15,36 @@ def pool(concurrency):
     return concurrency
 
 
+def composite_key_strings(cols) -> "object":
+    """Injective composition of several key columns into ONE string key.
+
+    Each component casts to string and escapes ``\\x1f`` → ``\\x1fE``;
+    components then join on ``\\x1fS``. After escaping, every ``\\x1f``
+    inside a component is followed by ``E``, so the ``\\x1fS`` boundary
+    can never occur within a component — distinct tuples stay distinct
+    even when raw keys contain the separator byte. NULL components
+    render as an empty string plus a validity marker so (NULL,) ≠ ("",).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in cols:
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        s = pc.cast(c, pa.string())
+        esc = pc.replace_substring(s, "\x1f", "\x1fE")
+        tagged = pc.binary_join_element_wise(
+            pc.if_else(pc.is_valid(esc), pa.scalar("V"), pa.scalar("N")),
+            pc.fill_null(esc, ""),
+            "",
+        )
+        parts.append(tagged)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1fS")
+
+
 def nul_safe_key_strings(arr):
     """Return a NUL-free equivalent of an Arrow string array for hashing.
 

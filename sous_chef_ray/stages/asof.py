@@ -222,6 +222,47 @@ def asof_join_broadcast(
     payload bytes (``Dataset.select_columns`` does NOT push down in Ray
     2.49 — measured 4x slower than a ``columns=`` read).
     """
+    if isinstance(key, (list, tuple)):
+        # multi-entity join keys: compose into ONE injective synthetic
+        # string key on both sides (escaped, collision-free — see
+        # _util.composite_key_strings), run the single-key plan, and
+        # drop the synthetic column from the result.
+        from sous_chef_ray.stages._util import composite_key_strings
+
+        keys = list(key)
+        if len(keys) == 1:
+            key = keys[0]
+        else:
+            ck = "__ckey__"
+            spine = spine.append_column(ck, composite_key_strings(
+                [spine[k] for k in keys]))
+            if payload_cols is None:
+                payload_cols = [
+                    c for c in features.schema().names
+                    if c not in set(keys) | {feature_ts, tie_col}
+                ]
+
+            def add_ck(t: pa.Table) -> pa.Table:
+                return t.append_column(ck, composite_key_strings(
+                    [t[k] for k in keys]))
+
+            out = asof_join_broadcast(
+                features.map_batches(add_ck, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                spine,
+                key=ck, spine_ts=spine_ts, feature_ts=feature_ts,
+                tie_col=tie_col, payload_cols=payload_cols, ttl=ttl,
+                concurrency=concurrency, batch_size=batch_size,
+                slim_features=(
+                    slim_features.map_batches(add_ck, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+                    if slim_features is not None else None
+                ),
+                candidate_reduce=candidate_reduce, strategy=strategy,
+                direction=direction,
+            )
+            return out.drop_columns([ck])
+
     if payload_cols is None:
         payload_cols = [
             c for c in features.schema().names if c not in (key, feature_ts, tie_col)

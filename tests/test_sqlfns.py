@@ -12,3 +12,22 @@ def test_split_part_null_and_missing_semantics():
     assert out.to_pylist() == ["b", "", None, ""]
     first = split_part(arr, ",", 1)
     assert first.to_pylist() == ["a", "a", None, ""]
+
+
+def test_composite_key_strings_injective():
+    from sous_chef_ray.stages._util import composite_key_strings
+
+    # adversarial: separator bytes inside components must not collide
+    a = pa.array(["a\x1fb", "a", None, ""])
+    b = pa.array(["c", "b\x1fc", "x", None])
+    ck = composite_key_strings([a, b]).to_pylist()
+    assert len(set(ck)) == 4  # all distinct
+    # same tuples → same key
+    ck2 = composite_key_strings([a, b]).to_pylist()
+    assert ck == ck2
+    # NULL vs empty string differ
+    e = composite_key_strings([pa.array([None, ""])]).to_pylist()
+    assert e[0] != e[1]
+    # int keys compose too
+    ik = composite_key_strings([pa.array([1, 12]), pa.array([23, 3])]).to_pylist()
+    assert ik[0] != ik[1]
