@@ -1693,6 +1693,65 @@ def shipping_priority_q3(sf_dir: str):
     )
 
 
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("large_volume_orders_q18", _Q18_SQL)
+def large_volume_orders_q18(sf_dir: str):
+    """TPC-H Q18 shape: pre-aggregate lineitem quantities per order (the
+    big side reduces FIRST — only order-level sums enter any join),
+    HAVING-filter, hash-join the surviving order keys to orders, enrich
+    with a broadcast customer join, global top-100 with a fully
+    deterministic tie-break."""
+    from sous_chef_ray.stages.join import broadcast_join, hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    big = (
+        li.map_batches(qty, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey").aggregate(Sum("q", alias_name="total_qty"))
+        .map_batches(lambda t: t.filter(pc.greater(t["total_qty"], 200)),
+                     batch_format="pyarrow")
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    j = hash_join(big, orders, on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=8).rename_columns({"l_orderkey": "o_orderkey"})
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    enriched = broadcast_join(j, cust, on="o_custkey", right_on="c_custkey")
+    out = (
+        enriched.sort(["o_totalprice", "o_orderdate", "o_orderkey"],
+                      descending=[True, False, False])
+        .limit(100)
+        .select_columns(["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                         "o_totalprice", "total_qty"])
+    )
+    return out
+
+
 _HAVING_SQL = """
 SELECT o_custkey, COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
