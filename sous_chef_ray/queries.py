@@ -170,6 +170,76 @@ def asof_next_click(sf_dir: str) -> pa.Table:
     )
 
 
+_ASOF_NEAREST_SQL = """
+WITH s AS (SELECT row_number() OVER (ORDER BY user_id, ts) AS sid, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+     fraw AS (SELECT user_id, ts AS fts, event_id, value FROM events
+              WHERE event_type = 'click'),
+     f AS (SELECT * FROM fraw
+           QUALIFY row_number() OVER (PARTITION BY user_id, fts
+                                      ORDER BY event_id DESC) = 1),
+     b AS (SELECT s.sid, s.user_id, s.ts, f.fts AS bts, f.value AS bval
+           FROM s ASOF LEFT JOIN f
+             ON s.user_id = f.user_id AND f.fts <= s.ts),
+     fw AS (SELECT s.sid, f.fts AS ffts, f.value AS fval
+            FROM s ASOF LEFT JOIN f
+              ON s.user_id = f.user_id AND f.fts >= s.ts)
+SELECT b.user_id, b.ts,
+       CASE
+         WHEN bts IS NOT NULL AND b.ts - bts <= INTERVAL 7 DAY
+              AND (ffts IS NULL OR ffts - b.ts > INTERVAL 7 DAY
+                   OR b.ts - bts <= ffts - b.ts) THEN bval
+         WHEN ffts IS NOT NULL AND ffts - b.ts <= INTERVAL 7 DAY THEN fval
+       END AS nearest_click_value
+FROM b JOIN fw USING (sid)
+"""
+
+
+@register("asof_nearest_click", _ASOF_NEAREST_SQL)
+def asof_nearest_click(sf_dir: str) -> pa.Table:
+    """NEAREST as-of: for every purchase, the click closest in time
+    (either side, symmetric 7-day TTL; equidistant ties prefer the
+    backward match, equal-ts ties the largest event_id) —
+    asof_join_broadcast(direction='nearest'), verified against a
+    dual-ASOF DuckDB oracle that applies the same preference rules."""
+    from sous_chef_ray.stages.asof import asof_join_broadcast
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id", "value"])
+
+    def to_feats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({"user_id": t["user_id"], "fts": t["ts"],
+                         "event_id": t["event_id"], "value": t["value"]})
+
+    feats = ev.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
+    spine_batches = [
+        b.filter(pc.equal(b["event_type"], "purchase")).select(["user_id", "ts"])
+        for b in ev.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    spine = pa.concat_tables(spine_batches)
+    out = asof_join_broadcast(
+        feats,
+        spine,
+        key="user_id",
+        spine_ts="ts",
+        feature_ts="fts",
+        tie_col="event_id",
+        payload_cols=["value"],
+        ttl=pd.Timedelta(days=7),
+        concurrency=2,
+        batch_size=8192,
+        direction="nearest",
+    )
+    return pa.table(
+        {
+            "user_id": out["user_id"],
+            "ts": out["ts"],
+            "nearest_click_value": out["value"],
+        }
+    )
+
+
 _ASOF_MULTIKEY_SQL = """
 WITH s AS (SELECT l_partkey, l_suppkey, l_shipdate FROM lineitem
            WHERE l_linenumber = 1),

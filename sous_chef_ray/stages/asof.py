@@ -103,6 +103,26 @@ class _AsofCandidates:
         self.ttl_us = ttl_us
         self.direction = direction
 
+    def _merge_one(self, spine, small, direction):
+        if self.tie_col is not None:
+            # stable two-pass sort: within equal __fts__, order __tie__ so
+            # merge_asof's duplicate rule (backward keeps the LAST equal
+            # row, forward the FIRST) lands on the LARGEST tie either way
+            small = small.sort_values(
+                "__tie__", kind="mergesort", ascending=direction == "backward",
+            )
+        small = small.sort_values("__fts__", kind="mergesort")
+        return pd.merge_asof(
+            spine,
+            small,
+            left_on="__ts__",
+            right_on="__fts__",
+            by=self.key,
+            direction=direction,
+            allow_exact_matches=True,
+            tolerance=self.ttl_us,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         small = pd.DataFrame(
@@ -114,16 +134,8 @@ class _AsofCandidates:
         )
         if self.tie_col is not None:
             small["__tie__"] = _ts_to_int(batch[self.tie_col])
-            # stable two-pass sort: within equal __fts__, order __tie__ so
-            # merge_asof's duplicate rule (backward keeps the LAST equal
-            # row, forward the FIRST) lands on the LARGEST tie either way
-            small = small.sort_values(
-                "__tie__", kind="mergesort",
-                ascending=self.direction == "backward",
-            )
         else:
             small["__tie__"] = small["__fts__"]
-        small = small.sort_values("__fts__", kind="mergesort")
 
         # prune the spine to keys present in THIS batch: the per-batch merge
         # then costs O(|matching spine| + |batch|), not O(|whole spine|)
@@ -132,16 +144,18 @@ class _AsofCandidates:
         if not present.all():
             spine = spine[present]
 
-        merged = pd.merge_asof(
-            spine,
-            small,
-            left_on="__ts__",
-            right_on="__fts__",
-            by=self.key,
-            direction=self.direction,
-            allow_exact_matches=True,
-            tolerance=self.ttl_us,
-        )
+        if self.direction == "nearest":
+            # deterministic nearest: emit BOTH directions' best per spine
+            # row (≤ 2 candidates) — the global reduce picks min distance
+            # with a backward preference on exact ties, independent of
+            # pandas' own nearest tie rule
+            merged = pd.concat(
+                [self._merge_one(spine, small, "backward"),
+                 self._merge_one(spine, small, "forward")],
+                ignore_index=True,
+            )
+        else:
+            merged = self._merge_one(spine, small, self.direction)
         hit = merged["__row__"].notna()
         if not hit.any():
             # empty candidate table with the right schema
@@ -150,21 +164,27 @@ class _AsofCandidates:
             }
             for c in ("__spine_idx__", "__fts__", "__tie__"):
                 cols[c] = pa.array([], type=pa.int64())
+            if self.direction == "nearest":
+                cols["__dist__"] = pa.array([], type=pa.int64())
+                cols["__back__"] = pa.array([], type=pa.int8())
             return pa.table(cols)
         rows = merged.loc[hit, "__row__"].to_numpy().astype(np.int64)
         cols = {}
         if self.payload_cols:
             taken = batch.select(self.payload_cols).take(pa.array(rows))
             cols = {c: taken[c] for c in self.payload_cols}
+        fts = merged.loc[hit, "__fts__"].to_numpy().astype(np.int64)
         cols["__spine_idx__"] = pa.array(
             merged.loc[hit, "__spine_idx__"].to_numpy().astype(np.int64)
         )
-        cols["__fts__"] = pa.array(
-            merged.loc[hit, "__fts__"].to_numpy().astype(np.int64)
-        )
+        cols["__fts__"] = pa.array(fts)
         cols["__tie__"] = pa.array(
             merged.loc[hit, "__tie__"].to_numpy().astype(np.int64)
         )
+        if self.direction == "nearest":
+            ts = merged.loc[hit, "__ts__"].to_numpy().astype(np.int64)
+            cols["__dist__"] = pa.array(np.abs(fts - ts))
+            cols["__back__"] = pa.array((fts <= ts).astype(np.int8))
         return pa.table(cols)
 
 
@@ -188,9 +208,12 @@ def asof_join_broadcast(
     """Point-in-time join of a big feature Dataset onto a small spine.
 
     ``direction``: ``"backward"`` (default, the point-in-time contract —
-    largest feature_ts ≤ ts, TTL bounds how stale) or ``"forward"`` —
-    smallest feature_ts ≥ ts, TTL bounds how far ahead; ties on equal
-    feature_ts still break to the largest ``tie_col`` in both directions.
+    largest feature_ts ≤ ts, TTL bounds how stale), ``"forward"`` —
+    smallest feature_ts ≥ ts, TTL bounds how far ahead — or
+    ``"nearest"`` — smallest ``|feature_ts − ts|`` with TTL as a
+    symmetric bound and a deterministic backward preference on
+    equidistant matches. Ties on equal feature_ts always break to the
+    largest ``tie_col``.
 
     ``strategy``: ``"two_phase"`` runs a slim candidate pass then a
     payload fetch pass — right when payloads are wide (token arrays:
@@ -324,6 +347,7 @@ def asof_join_broadcast(
         direction=direction,
     )
     forward = direction == "forward"
+    nearest = direction == "nearest"
 
     def gen_cands(batch: pa.Table) -> pa.Table:
         # stateless task: constructing the op is cheap (spine comes from
@@ -348,12 +372,18 @@ def asof_join_broadcast(
         # int64→float64) and break the typed assembly below.
         def best_per_sidx(t: pa.Table) -> pa.Table:
             # last-per-sidx wins: largest fts (backward) / smallest
-            # (forward), then largest tie
-            t = t.sort_by(
-                [("__spine_idx__", "ascending"),
-                 ("__fts__", "descending" if forward else "ascending"),
-                 ("__tie__", "ascending")]
-            )
+            # (forward) / smallest distance with backward preference
+            # (nearest), then largest tie
+            if nearest:
+                sort_keys = [("__spine_idx__", "ascending"),
+                             ("__dist__", "descending"),
+                             ("__back__", "ascending"),
+                             ("__tie__", "ascending")]
+            else:
+                sort_keys = [("__spine_idx__", "ascending"),
+                             ("__fts__", "descending" if forward else "ascending"),
+                             ("__tie__", "ascending")]
+            t = t.sort_by(sort_keys)
             s = t["__spine_idx__"].to_numpy()
             last = np.empty(len(s), dtype=bool)
             last[:-1] = s[1:] != s[:-1]
@@ -377,9 +407,14 @@ def asof_join_broadcast(
     sidx = cand_tbl["__spine_idx__"].to_numpy()
     fts = cand_tbl["__fts__"].to_numpy()
     tie = cand_tbl["__tie__"].to_numpy()
-    # last per sidx wins: largest fts (backward) / smallest (forward),
-    # then largest tie
-    order = np.lexsort((tie, -fts if forward else fts, sidx))
+    # last per sidx wins: largest fts (backward) / smallest (forward) /
+    # smallest |fts-ts| with backward preference (nearest), then largest tie
+    if nearest:
+        dist = cand_tbl["__dist__"].to_numpy()
+        back = cand_tbl["__back__"].to_numpy()
+        order = np.lexsort((tie, back, -dist, sidx))
+    else:
+        order = np.lexsort((tie, -fts if forward else fts, sidx))
     sidx_sorted = sidx[order]
     last_mask = np.empty(len(sidx_sorted), dtype=bool)
     last_mask[:-1] = sidx_sorted[1:] != sidx_sorted[:-1]

@@ -310,3 +310,28 @@ def test_forward_zero_lookbehind(data):
         if pd.notna(n_tok):
             fts = has_future.get(doc)
             assert fts is not None and (fts >= np.datetime64(ts)).any()
+
+
+def test_nearest_direction_distributed_reduce_equiv(data):
+    """direction='nearest' must return identical winners through the
+    driver lexsort reduce and the hash-partitioned Arrow reduce."""
+    features, spine = data
+    kw = dict(
+        key="doc_id", spine_ts="event_timestamp", feature_ts="event_ts",
+        tie_col="created_ts", payload_cols=["n_tok", "source"],
+        ttl=pd.Timedelta(days=TTL_DAYS), concurrency=2, batch_size=512,
+        direction="nearest",
+    )
+    drv = asof_join_broadcast(
+        rd.from_arrow(features).repartition(5), spine,
+        candidate_reduce="driver", **kw,
+    ).to_pandas()
+    dist = asof_join_broadcast(
+        rd.from_arrow(features).repartition(5), spine,
+        candidate_reduce="distributed", **kw,
+    ).to_pandas()
+    key = ["doc_id", "event_timestamp", "n_tok"]
+    pd.testing.assert_frame_equal(
+        drv.sort_values(key).reset_index(drop=True),
+        dist.sort_values(key).reset_index(drop=True),
+    )
