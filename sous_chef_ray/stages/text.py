@@ -131,25 +131,76 @@ def add_rolling_fingerprint(ds: "rd.Dataset", text_col: str = "text",
 
 # Common-word profiles for a cheap n-gram/stopword language heuristic
 # (public-knowledge frequent words; NOT trained on any data).
+# Distinctive (low-collision) stopword profiles per Latin-script language;
+# shared Romance/Germanic function words (le/la/un/de/com/para) are
+# deliberately absent so one word never votes for two languages.
 _LANG_MARKERS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"},
-    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
-    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+    "en": {"the", "and", "of", "is", "that", "with", "have", "this", "from"},
+    "de": {"der", "und", "nicht", "ich", "sie", "werden", "auch", "eine",
+           "aber", "wir"},
+    "fr": {"les", "dans", "pour", "avec", "vous", "cette", "sont", "être",
+           "nous", "mais"},
+    "es": {"los", "las", "pero", "más", "muy", "cuando", "entre", "también",
+           "porque", "años"},
+    "it": {"che", "della", "sono", "anche", "perché", "gli", "nel", "alla",
+           "questo", "come"},
+    "pt": {"não", "você", "uma", "são", "isso", "então", "já", "depois",
+           "até", "coisa"},
+    "nl": {"het", "een", "voor", "niet", "zijn", "maar", "ook", "deze",
+           "naar", "worden"},
+    "sv": {"och", "att", "det", "som", "för", "inte", "är", "på", "han",
+           "eller"},
+    "id": {"yang", "dengan", "untuk", "tidak", "dari", "adalah", "ini",
+           "akan", "pada", "juga"},
+    "tr": {"bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha", "gibi",
+           "sonra"},
 }
+
+# (lo, hi, lang) codepoint ranges: a prefix dominated by one script decides
+# immediately (the marker vote only separates Latin-script languages)
+_SCRIPT_RANGES = (
+    (0x4E00, 0x9FFF, "zh"),
+    (0x3040, 0x30FF, "ja"),  # hiragana + katakana (checked before zh)
+    (0xAC00, 0xD7AF, "ko"),
+    (0x0400, 0x04FF, "ru"),
+    (0x0600, 0x06FF, "ar"),
+    (0x0900, 0x097F, "hi"),
+    (0x0370, 0x03FF, "el"),
+)
 
 
 class LangId:
-    """Actor-pool language-ID stage: marker-word overlap + CJK-codepoint
-    ratio, profiles compiled once per actor in __init__."""
+    """Actor-pool language-ID stage: script-range detection (CJK, kana,
+    Hangul, Cyrillic, Arabic, Devanagari, Greek) then distinctive-stopword
+    voting across ten Latin-script languages; profiles compiled once per
+    actor in __init__."""
 
     def __init__(self, text_col: str = "text", name: str = "lang_pred"):
         import re
 
         self.text_col = text_col
         self.name = name
-        self.word = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def _script_lang(self, s: str):
+        prefix = s[:200]
+        counts: dict = {}
+        for ch in prefix:
+            cp = ord(ch)
+            if cp < 0x0370:
+                continue
+            for lo, hi, lang in _SCRIPT_RANGES:
+                if lo <= cp <= hi:
+                    counts[lang] = counts.get(lang, 0) + 1
+                    break
+        if not counts:
+            return None
+        # any kana at all marks Japanese even in CJK-heavy text
+        if counts.get("ja", 0) >= 2:
+            return "ja"
+        best = max(counts, key=lambda k: (counts[k], k))
+        return best if counts[best] > len(prefix) * 0.15 else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         preds = []
@@ -157,9 +208,9 @@ class LangId:
             if not isinstance(s, str) or not s:
                 preds.append(None)
                 continue
-            cjk = sum(1 for ch in s[:200] if "一" <= ch <= "鿿")
-            if cjk > len(s[:200]) * 0.2:
-                preds.append("zh")
+            script = self._script_lang(s)
+            if script is not None:
+                preds.append(script)
                 continue
             words = [w.lower() for w in self.word.findall(s[:1000])]
             scores = {

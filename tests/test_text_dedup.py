@@ -278,3 +278,34 @@ def test_connected_components_distributed_chain_converges():
     )
     assert (got["root"] == 0).all()
     assert len(got) == n
+
+
+def test_langid_seventeen_languages():
+    """Script ranges decide non-Latin scripts; distinctive stopwords
+    separate ten Latin-script languages."""
+    from sous_chef_ray.stages.text import LangId
+
+    samples = {
+        "en": "The quick brown fox is jumping over the lazy dog and that is fine with everyone.",
+        "de": "Ich gehe heute nicht zur Arbeit, aber wir werden auch morgen eine Lösung finden.",
+        "fr": "Nous allons dans les montagnes pour marcher avec vous, mais cette route est longue.",
+        "es": "Los niños juegan en el parque, pero cuando llueve también quedan muy contentos porque sí.",
+        "it": "Questo è il libro che mi piace, anche perché gli autori della storia sono bravi.",
+        "pt": "Você não vai acreditar, mas isso é uma coisa que já aconteceu depois da festa.",
+        "nl": "Het is een mooie dag, maar wij gaan niet naar het strand omdat deze week regen wordt.",
+        "sv": "Det är en vacker dag och han vill inte stanna hemma, för solen är framme på himlen.",
+        "id": "Buku ini adalah cerita yang bagus untuk dibaca dengan teman, tidak membosankan juga.",
+        "tr": "Bu kitap çok güzel ve bir arkadaşım için aldım, daha sonra birlikte okuyacağız gibi.",
+        "zh": "这是一本非常好的书，我们都喜欢读它，因为故事很有意思。",
+        "ja": "これはとても面白い本です。私たちはみんなこの物語が大好きです。",
+        "ko": "이것은 아주 재미있는 책입니다. 우리는 모두 이 이야기를 좋아합니다.",
+        "ru": "Это очень интересная книга, мы все любим читать её по вечерам дома.",
+        "ar": "هذا كتاب ممتع للغاية ونحن جميعا نحب قراءته في المساء.",
+        "hi": "यह बहुत ही रोचक किताब है और हम सब इसे पढ़ना पसंद करते हैं।",
+        "el": "Αυτό είναι ένα πολύ ενδιαφέρον βιβλίο και μας αρέσει να το διαβάζουμε.",
+    }
+    out = LangId()(pd.DataFrame({"text": list(samples.values())}))
+    assert list(out["lang_pred"]) == list(samples.keys())
+    # null/empty handling
+    out2 = LangId()(pd.DataFrame({"text": [None, ""]}))
+    assert list(out2["lang_pred"]) == [None, None]
