@@ -2799,7 +2799,14 @@ def _apply_registration_order() -> None:
     global QUERIES, ORACLE_SQL
     missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
-    ordered = _WINDOW_PRIORITY + [n for n in QUERIES if n not in _WINDOW_PRIORITY]
+    rest = [n for n in QUERIES if n not in _WINDOW_PRIORITY]
+    # remaining exact-oracle queries register before rows-only sketches so
+    # any widening of the driver's checked window hits oracles first
+    ordered = (
+        _WINDOW_PRIORITY
+        + [n for n in rest if n in ORACLE_SQL]
+        + [n for n in rest if n not in ORACLE_SQL]
+    )
     QUERIES = {n: QUERIES[n] for n in ordered}
     ORACLE_SQL = {n: ORACLE_SQL[n] for n in ordered if n in ORACLE_SQL}
 
