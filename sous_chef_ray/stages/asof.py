@@ -561,6 +561,7 @@ def _merge_asof_bucket(
     left_types: dict,
     payload_types: dict,
     expected_bucket: Optional[int] = None,
+    direction: str = "backward",
 ) -> pa.Table:
     """Sorted as-of merge of one co-partitioned bucket: only the
     (key, ts, row#) index frames go through pandas merge_asof; payloads
@@ -604,25 +605,48 @@ def _merge_asof_bucket(
         {
             key: rb[key].to_numpy(zero_copy_only=False),
             "__ts__": _ts_to_int(rb[right_ts]),
+            "__rts__": _ts_to_int(rb[right_ts]),
             "__r__": np.arange(len(rb), dtype=np.int64),
         }
     )
     if tie_col is not None:
-        # latest-created wins ties: stable sort by tie then ts keeps the
-        # max-tie row last per ts; merge_asof backward picks the last
         rdf["__tie__"] = _ts_to_int(rb[tie_col])
-        rdf = rdf.sort_values("__tie__", kind="mergesort")
-    rdf = rdf.sort_values("__ts__", kind="mergesort")
-    merged = pd.merge_asof(
-        ldf,
-        rdf[[key, "__ts__", "__r__"]],
-        on="__ts__",
-        by=key,
-        direction="backward",
-        allow_exact_matches=True,
-        tolerance=ttl_us,
-    )
-    rpos = merged["__r__"].to_numpy()
+
+    def one_merge(d: str) -> pd.DataFrame:
+        r = rdf
+        if tie_col is not None:
+            # latest-created wins equal-ts ties: merge_asof keeps the LAST
+            # equal row going backward, the FIRST going forward — order
+            # __tie__ so the largest lands there either way
+            r = r.sort_values("__tie__", kind="mergesort",
+                              ascending=d == "backward")
+        r = r.sort_values("__ts__", kind="mergesort")
+        return pd.merge_asof(
+            ldf,
+            r[[key, "__ts__", "__rts__", "__r__"]],
+            on="__ts__",
+            by=key,
+            direction=d,
+            allow_exact_matches=True,
+            tolerance=ttl_us,
+        )
+
+    if direction == "nearest":
+        mb = one_merge("backward")
+        mf = one_merge("forward")
+        ts = mb["__ts__"].to_numpy()
+        bpos, fpos = mb["__r__"].to_numpy(), mf["__r__"].to_numpy()
+        bval = ~np.isnan(bpos) if bpos.dtype.kind == "f" else np.ones(len(bpos), bool)
+        fval = ~np.isnan(fpos) if fpos.dtype.kind == "f" else np.ones(len(fpos), bool)
+        bdist = np.where(bval, ts - mb["__rts__"].to_numpy(), np.inf)
+        fdist = np.where(fval, mf["__rts__"].to_numpy() - ts, np.inf)
+        use_b = bval & (~fval | (bdist <= fdist))  # backward wins exact ties
+        rpos = np.where(use_b, bpos, fpos)
+        rpos = np.where(bval | fval, rpos, np.nan)
+        merged = mb
+    else:
+        merged = one_merge(direction)
+        rpos = merged["__r__"].to_numpy()
     order = merged["__l__"].to_numpy().astype(np.int64)
     out = lb.select(left_cols).take(pa.array(order))
     miss = np.isnan(rpos) if rpos.dtype.kind == "f" else np.zeros(len(rpos), bool)
@@ -637,10 +661,11 @@ def _merge_asof_bucket(
 @ray.remote
 def _merge_asof_bucket_task(lb, rb, key, left_ts, right_ts, tie_col,
                             payload_cols, ttl_us, left_cols, left_types,
-                            payload_types, expected_bucket):
+                            payload_types, expected_bucket,
+                            direction="backward"):
     return _merge_asof_bucket(lb, rb, key, left_ts, right_ts, tie_col,
                               payload_cols, ttl_us, left_cols, left_types,
-                              payload_types, expected_bucket)
+                              payload_types, expected_bucket, direction)
 
 
 def asof_join_partitioned(
@@ -656,8 +681,11 @@ def asof_join_partitioned(
     num_buckets: int = 64,
     salt_factor: int = 0,
     hot_keys=None,
+    direction: str = "backward",
 ) -> "ray.data.Dataset":
-    """As-of join where both sides are large.
+    """As-of join where both sides are large. ``direction`` as in
+    :func:`asof_join_broadcast` (backward / forward / nearest) — applied
+    inside each bucket's sorted merge.
 
     Each side is hash-bucket co-partitioned INDEPENDENTLY (deterministic
     uint64 key hash % num_buckets, identical bucketing both sides so a
@@ -733,7 +761,7 @@ def asof_join_partitioned(
         out = asof_join_partitioned(
             left, right, key=salted, left_ts=left_ts, right_ts=right_ts,
             tie_col=tie_col, payload_cols=payload_cols, ttl=ttl,
-            num_buckets=num_buckets,
+            num_buckets=num_buckets, direction=direction,
         )
         return out.drop_columns([salted])
 
@@ -783,7 +811,7 @@ def asof_join_partitioned(
     out_refs = [
         _merge_asof_bucket_task.remote(
             lb, rb, key, left_ts, right_ts, tie_col, payload_cols, ttl_us,
-            left_cols, left_types, payload_types, b,
+            left_cols, left_types, payload_types, b, direction,
         )
         for b, (lb, rb) in enumerate(zip(lrefs, rrefs))
     ]

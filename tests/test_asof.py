@@ -335,3 +335,28 @@ def test_nearest_direction_distributed_reduce_equiv(data):
         drv.sort_values(key).reset_index(drop=True),
         dist.sort_values(key).reset_index(drop=True),
     )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_partitioned_matches_broadcast_all_directions(data, direction):
+    """Both physical plans agree in every direction (the partitioned
+    bucket merge mirrors the broadcast winner rules)."""
+    features, spine = data
+    kw = dict(tie_col="created_ts", payload_cols=["n_tok", "source"],
+              ttl=pd.Timedelta(days=TTL_DAYS))
+    bc = asof_join_broadcast(
+        rd.from_arrow(features).repartition(5), spine,
+        key="doc_id", spine_ts="event_timestamp", feature_ts="event_ts",
+        concurrency=2, batch_size=512, direction=direction, **kw,
+    ).to_pandas()
+    pt = asof_join_partitioned(
+        rd.from_arrow(spine).repartition(3),
+        rd.from_arrow(features).repartition(5),
+        key="doc_id", left_ts="event_timestamp", right_ts="event_ts",
+        num_buckets=8, direction=direction, **kw,
+    ).to_pandas()
+    k = ["doc_id", "event_timestamp", "n_tok"]
+    pd.testing.assert_frame_equal(
+        bc.sort_values(k).reset_index(drop=True)[["doc_id", "event_timestamp", "n_tok", "source"]],
+        pt.sort_values(k).reset_index(drop=True)[["doc_id", "event_timestamp", "n_tok", "source"]],
+    )
