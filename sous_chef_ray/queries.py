@@ -1226,6 +1226,25 @@ def approx_distinct_users_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+@register("approx_median_value_per_type")  # sketch aggregate → rows-only
+def approx_median_value_per_type(sf_dir: str):
+    """Grouped KLL quantile as a NATIVE Ray Data aggregate
+    (stages/sketch.KllQuantile, AggregateFnV2): per-block few-KB
+    sketches, level-concat merge in the shuffle — approximate
+    MEDIAN(value) per event_type with no per-group sort and no value
+    shuffle (accuracy pinned in tests/test_sketch.py)."""
+    from sous_chef_ray.stages.sketch import KllQuantile
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = (
+        ev.groupby("event_type")
+        .aggregate(KllQuantile(on="value", q=0.5, k=200, alias_name="approx_median"))
+        .to_pandas()
+    )
+    out["approx_median"] = out["approx_median"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _PROFILE_SQL = """
 SELECT 'l_quantity' AS col,
        MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
@@ -2290,6 +2309,28 @@ def doc_fingerprints(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return add_md5_fingerprint(docs, "text").select_columns(["doc_id", "fingerprint"])
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id, md5(text) AS fingerprint
+FROM documents WHERE md5(text) < '28'
+"""
+
+
+@register("doc_hash_sample", _HASH_SAMPLE_SQL)
+def doc_hash_sample(sf_dir: str):
+    """Deterministic ~15.6% content-hash sample (md5 prefix threshold):
+    the reproducible, leakage-free sampling primitive for eval holdouts —
+    a pure filter, no RNG state, identical on any partitioning. Exact
+    md5 oracle."""
+    from sous_chef_ray.stages.text import add_md5_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = add_md5_fingerprint(docs, "text").select_columns(["doc_id", "fingerprint"])
+    return fp.map_batches(
+        lambda t: t.filter(pc.less(t["fingerprint"], "28")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 _EXACTDEDUP_SQL = """

@@ -390,3 +390,56 @@ def frequent_items(
     if top is not None:
         rows = rows[:top]
     return pd.DataFrame(rows, columns=["item", "est_count"])
+
+
+try:
+    from ray.data.aggregate import AggregateFnV2 as _AggV2
+
+    class KllQuantile(_AggV2):
+        """Grouped approximate quantile as a first-class Ray Data
+        aggregate: per-block KLL sketches, level-concat merge in
+        ``combine``, quantile read in ``finalize`` — the shuffle moves
+        few-KB sketches, never values, and there is no per-group sort.
+        ``ds.groupby(k).aggregate(KllQuantile(on="v", q=0.5))``."""
+
+        def __init__(self, on: str, q: float = 0.5, k: int = 200,
+                     alias_name: str | None = None, ignore_nulls: bool = True):
+            self._q = q
+            self._k = k
+            super().__init__(
+                alias_name if alias_name else f"approx_p{int(q * 100)}({on})",
+                on=on,
+                ignore_nulls=ignore_nulls,
+                zero_factory=lambda: b"",
+            )
+
+        def aggregate_block(self, block) -> bytes:
+            from ray.data.block import BlockAccessor
+
+            acc = BlockAccessor.for_block(block)
+            tbl = acc.to_arrow()
+            col = tbl[self._target_col_name]
+            if self._ignore_nulls:
+                col = col.drop_null()
+            sk = KllSketch(self._k, seed=(len(col) * 2654435761) & 0x7FFFFFFF)
+            if len(col):
+                sk.add(col.to_numpy(zero_copy_only=False).astype(np.float64))
+            return sk.serialize()
+
+        def combine(self, current: bytes, new: bytes) -> bytes:
+            if not current:
+                return new
+            if not new:
+                return current
+            a = KllSketch.deserialize(current, self._k)
+            a.merge(KllSketch.deserialize(new, self._k))
+            return a.serialize()
+
+        def finalize(self, accumulator: bytes) -> float:
+            if not accumulator:
+                return float("nan")
+            sk = KllSketch.deserialize(accumulator, self._k)
+            return float(sk.quantiles([self._q])[0])
+
+except ImportError:  # pragma: no cover - older Ray without V2
+    KllQuantile = None

@@ -192,3 +192,35 @@ def test_misra_gries_zipf_heavy_hitter_guarantee():
             if true_c > bound:
                 assert item in est, (item, true_c, bound)
                 assert est[item] <= true_c <= est[item] + bound
+
+
+def test_kll_grouped_aggregate_accuracy():
+    """Grouped KllQuantile (AggregateFnV2): per-group approximate median
+    within ~2% rank error of the exact per-group median; null-heavy
+    groups return NaN."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import KllQuantile
+
+    rng = np.random.default_rng(4)
+    n = 30000
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], n // 3),
+        "v": np.concatenate([
+            rng.normal(0, 1, n // 3),
+            rng.exponential(5, n // 3),
+            rng.uniform(10, 20, n // 3),
+        ]),
+    })
+    out = (
+        rd.from_pandas(df).repartition(8).groupby("g")
+        .aggregate(KllQuantile(on="v", q=0.5, k=200, alias_name="med"))
+        .to_pandas().set_index("g")["med"]
+    )
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        # rank of the estimate must be within 2.5% of the true median rank
+        rank = np.searchsorted(v, out[g]) / len(v)
+        assert abs(rank - 0.5) < 0.025, (g, rank)
