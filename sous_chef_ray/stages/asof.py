@@ -708,6 +708,38 @@ def asof_join_partitioned(
     in one bucket's block; size ``num_buckets`` with
     ``stages.partition.auto_num_buckets``.
     """
+    if isinstance(key, (list, tuple)):
+        # multi-entity keys: same injective composite-key plan as the
+        # broadcast strategy (see asof_join_broadcast)
+        from sous_chef_ray.stages._util import composite_key_strings
+
+        keys = list(key)
+        if len(keys) == 1:
+            key = keys[0]
+        else:
+            ck = "__ckey__"
+            if payload_cols is None:
+                payload_cols = [
+                    c for c in right.schema().base_schema.names
+                    if c not in set(keys) | {right_ts, tie_col}
+                ]
+
+            def add_ck(t: pa.Table) -> pa.Table:
+                return t.append_column(ck, composite_key_strings(
+                    [t[k] for k in keys]))
+
+            out = asof_join_partitioned(
+                left.map_batches(add_ck, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                right.map_batches(add_ck, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                key=ck, left_ts=left_ts, right_ts=right_ts, tie_col=tie_col,
+                payload_cols=payload_cols, ttl=ttl, num_buckets=num_buckets,
+                salt_factor=salt_factor, hot_keys=hot_keys,
+                direction=direction,
+            )
+            return out.drop_columns([ck])
+
     if salt_factor and hot_keys:
         from sous_chef_ray.stages.salt import SALT_SEP
 

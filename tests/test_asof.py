@@ -360,3 +360,42 @@ def test_partitioned_matches_broadcast_all_directions(data, direction):
         bc.sort_values(k).reset_index(drop=True)[["doc_id", "event_timestamp", "n_tok", "source"]],
         pt.sort_values(k).reset_index(drop=True)[["doc_id", "event_timestamp", "n_tok", "source"]],
     )
+
+
+def test_multikey_partitioned_matches_broadcast():
+    """Composite-key plan: partitioned == broadcast on a two-column key."""
+    rng = np.random.default_rng(31)
+    n = 2000
+    f = pa.table({
+        "k1": rng.integers(0, 12, n),
+        "k2": np.array(["x", "y", "z"])[rng.integers(0, 3, n)],
+        "event_ts": pd.to_datetime(
+            1_700_000_000_000_000 + rng.integers(0, 10**9, n), unit="us"),
+        "created_ts": pd.to_datetime(
+            1_700_000_000_000_000 + rng.integers(0, 10**9, n), unit="us"),
+        "val": rng.normal(size=n),
+    })
+    m = 500
+    s = pa.table({
+        "k1": rng.integers(0, 12, m),
+        "k2": np.array(["x", "y", "z"])[rng.integers(0, 3, m)],
+        "event_timestamp": pd.to_datetime(
+            1_700_000_000_000_000 + rng.integers(0, 10**9, m), unit="us"),
+    })
+    kw = dict(tie_col="created_ts", payload_cols=["val"],
+              ttl=pd.Timedelta(days=3))
+    bc = asof_join_broadcast(
+        rd.from_arrow(f).repartition(4), s,
+        key=["k1", "k2"], spine_ts="event_timestamp", feature_ts="event_ts",
+        concurrency=2, batch_size=256, **kw,
+    ).to_pandas()
+    pt = asof_join_partitioned(
+        rd.from_arrow(s).repartition(3), rd.from_arrow(f).repartition(4),
+        key=["k1", "k2"], left_ts="event_timestamp", right_ts="event_ts",
+        num_buckets=8, **kw,
+    ).to_pandas()
+    k = ["k1", "k2", "event_timestamp", "val"]
+    pd.testing.assert_frame_equal(
+        bc.sort_values(k).reset_index(drop=True)[k],
+        pt.sort_values(k).reset_index(drop=True)[k],
+    )
