@@ -601,14 +601,16 @@ def _merge_asof_bucket(
             "__l__": np.arange(n, dtype=np.int64),
         }
     ).sort_values("__ts__", kind="mergesort")
+    rts = _ts_to_int(rb[right_ts])
     rdf = pd.DataFrame(
         {
             key: rb[key].to_numpy(zero_copy_only=False),
-            "__ts__": _ts_to_int(rb[right_ts]),
-            "__rts__": _ts_to_int(rb[right_ts]),
+            "__ts__": rts,
             "__r__": np.arange(len(rb), dtype=np.int64),
         }
     )
+    if direction == "nearest":
+        rdf["__rts__"] = rts  # matched right ts, needed for distances only
     if tie_col is not None:
         rdf["__tie__"] = _ts_to_int(rb[tie_col])
 
@@ -621,9 +623,11 @@ def _merge_asof_bucket(
             r = r.sort_values("__tie__", kind="mergesort",
                               ascending=d == "backward")
         r = r.sort_values("__ts__", kind="mergesort")
+        keep = [key, "__ts__", "__r__"] + (
+            ["__rts__"] if direction == "nearest" else [])
         return pd.merge_asof(
             ldf,
-            r[[key, "__ts__", "__rts__", "__r__"]],
+            r[keep],
             on="__ts__",
             by=key,
             direction=d,
