@@ -198,3 +198,30 @@ def last_day(ts: pa.Array) -> pa.Array:
     s = pd.to_datetime(ts.to_pandas())
     out = (s + pd.offsets.MonthEnd(0)).dt.normalize().dt.date
     return pa.array(out, type=pa.date32())
+
+
+def json_extract_int(arr: pa.Array, key: str) -> pa.Array:
+    """JSON_EXTRACT(arr, '$.key') for flat integer scalar fields — one
+    vectorized RE2 pass (no per-row json.loads). NULL when the key is
+    absent or the input is NULL; use ``json_extract_scalar`` for strings."""
+    import re
+
+    pat = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)'
+    hit = pc.extract_regex(arr, pat)
+    return pc.cast(pc.struct_field(hit, "v"), pa.int64())
+
+
+def json_extract_scalar(arr: pa.Array, key: str) -> pa.Array:
+    """JSON_EXTRACT_STRING(arr, '$.key') for flat scalar fields: returns
+    the raw scalar token (quoted strings unquoted, numbers as text).
+    One vectorized RE2 pass; escaped quotes inside strings unsupported
+    (flat telemetry-style payloads)."""
+    import re
+
+    k = re.escape(key)
+    quoted = pc.struct_field(
+        pc.extract_regex(arr, rf'"{k}"\s*:\s*"(?P<v>[^"]*)"'), "v")
+    bare = pc.struct_field(
+        pc.extract_regex(arr, rf'"{k}"\s*:\s*(?P<v>-?[0-9.eE+]+|true|false|null)'),
+        "v")
+    return pc.coalesce(quoted, bare)

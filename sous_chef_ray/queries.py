@@ -1395,6 +1395,41 @@ def lineitem_unpivot(sf_dir: str):
     return li.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_k
+FROM events GROUP BY event_type
+"""
+
+
+@register("event_props_json", _JSON_SQL)
+def event_props_json(sf_dir: str):
+    """JSON field extraction from a string payload column
+    (functions/sqlfns.json_extract_int: one vectorized RE2 pass, no
+    per-row json.loads) → grouped exact integer aggregate; DuckDB
+    json_extract oracle."""
+    from sous_chef_ray.functions.sqlfns import json_extract_int
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "k": json_extract_int(t["props"].combine_chunks(), "k"),
+        })
+
+    out = (
+        ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count("k", alias_name="n_k"))
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n_k"] = out["n_k"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _FREQ_ITEMS_SQL = """
 SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
 FROM events GROUP BY event_type

@@ -31,3 +31,13 @@ def test_composite_key_strings_injective():
     # int keys compose too
     ik = composite_key_strings([pa.array([1, 12]), pa.array([23, 3])]).to_pylist()
     assert ik[0] != ik[1]
+
+
+def test_json_extract_kernels():
+    from sous_chef_ray.functions.sqlfns import json_extract_int, json_extract_scalar
+
+    a = pa.array(['{"k": 69}', '{"k":-3, "z": 1}', '{"z": 2}', None,
+                  '{"k": "s v"}', '{"k": true}'])
+    assert json_extract_int(a, "k").to_pylist() == [69, -3, None, None, None, None]
+    assert json_extract_scalar(a, "k").to_pylist() == [
+        "69", "-3", None, None, "s v", "true"]
