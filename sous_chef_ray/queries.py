@@ -1610,7 +1610,11 @@ def embedding_neardup_pairs_lsh(sf_dir: str):
     exact-verified through distributed hash joins of candidate-only
     embedding blobs — the corpus never materializes on the driver.
     Same DuckDB oracle as the brute-force op; bits/num_tables sized so
-    recall at threshold 0.3 is 1.0 (checked exact at sf0.001/sf0.01)."""
+    recall at threshold 0.3 is 1.0 (checked exact at sf0.001/sf0.01).
+    NOTE: 0.3 is the exactness STRESS setting — at such a low threshold
+    nearly every pair is a candidate, so this runs as distributed
+    all-pairs by design; production near-dup thresholds (≥0.8, see
+    tests' planted-cluster case) keep candidate sets sparse."""
     from sous_chef_ray.stages.similarity import cosine_pairs_lsh
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
