@@ -610,6 +610,30 @@ def customers_with_big_orders(sf_dir: str):
                      concurrency=2)
 
 
+@register("customers_with_big_orders_bloom", _SEMI_SQL)
+def customers_with_big_orders_bloom(sf_dir: str):
+    """Same semi join through the BLOOM pushdown path
+    (stages/bloom.bloom_semi_filter): a constant-size bitmask broadcast
+    pre-filters the big side (false positives only), the exact key-set
+    filter removes the residue — the 100-TB shape where the exact key
+    set itself would be too large to broadcast. Same oracle as the
+    exact semi join, so end-to-end equality is driver-checked."""
+    from sous_chef_ray.stages.bloom import bloom_semi_filter
+    from sous_chef_ray.stages.join import distinct_key_array, semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pre = bloom_semi_filter(cust, big, "c_custkey", small_col="o_custkey",
+                            num_bits=1 << 16, concurrency=2)
+    # exact residue removal over the (bloom-shrunk) stream
+    return semi_join(pre, distinct_key_array(big, "o_custkey"), "c_custkey",
+                     concurrency=2)
+
+
 _ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)

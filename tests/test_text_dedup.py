@@ -309,3 +309,37 @@ def test_langid_seventeen_languages():
     # null/empty handling
     out2 = LangId()(pd.DataFrame({"text": [None, ""]}))
     assert list(out2["lang_pred"]) == [None, None]
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from sous_chef_ray.stages.bloom import bloom_build, bloom_semi_filter
+
+    rng = np.random.default_rng(3)
+    small_keys = rng.choice(100000, 500, replace=False).astype(np.int64)
+    small = rd.from_pandas(pd.DataFrame({"k": small_keys})).repartition(3)
+    big_keys = np.arange(20000, dtype=np.int64)
+    big = rd.from_pandas(pd.DataFrame({"k": big_keys, "v": big_keys * 2})).repartition(5)
+
+    out = bloom_semi_filter(big, small, "k", num_bits=1 << 16, k=7,
+                            concurrency=2).to_pandas()
+    got = set(out["k"])
+    truth = set(small_keys[small_keys < 20000])
+    assert truth <= got  # no false negatives, ever
+    # false positives bounded: m=65536 bits, n=500 keys, k=7 → fp ~ 1e-7
+    assert len(got - truth) <= 5, len(got - truth)
+
+
+def test_bloom_nul_and_string_keys():
+    from sous_chef_ray.stages.bloom import bloom_semi_filter
+
+    keys = ["a", "b\x00c", "d\x1fe", "plain"]
+    small = rd.from_arrow(pa.table({"k": pa.array(keys[:2], type=pa.string())}))
+    big = rd.from_arrow(pa.table({"k": pa.array(keys, type=pa.string())}))
+    out = bloom_semi_filter(big, small, "k", num_bits=1 << 12, concurrency=2
+                            ).to_pandas()
+    assert set(out["k"]) >= {"a", "b\x00c"}
