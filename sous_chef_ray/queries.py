@@ -634,6 +634,97 @@ def customers_with_big_orders_bloom(sf_dir: str):
                      concurrency=2)
 
 
+_CORR_SUBQ_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("orders_above_customer_avg", _CORR_SUBQ_SQL)
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-scalar-subquery shape (each row vs its group's
+    aggregate): one grouped pre-aggregate (exact integer cents for a
+    deterministic mean) broadcast back onto the stream — no row-at-a-time
+    subquery, no second shuffle."""
+    from sous_chef_ray.stages.join import broadcast_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "price_cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                                   pa.int64()),
+        })
+
+    oc = orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    avg = (
+        oc.groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="sum_c"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    avg["avg_cents"] = avg["sum_c"] / avg["n"]
+    out = broadcast_join(oc, avg[["o_custkey", "avg_cents"]], on="o_custkey")
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(pc.cast(t["price_cents"], pa.float64()),
+                                      t["avg_cents"])).select(
+            ["o_orderkey", "o_custkey", "price_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+_RATIO_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                OVER (PARTITION BY l_returnflag) AS DOUBLE) AS ratio_to_flag
+FROM lineitem
+"""
+
+
+@register("lineitem_ratio_to_report", _RATIO_SQL)
+def lineitem_ratio_to_report(sf_dir: str):
+    """RATIO_TO_REPORT / percent-of-total window: value ÷ its
+    partition's SUM — grouped exact-integer pre-aggregate broadcast back
+    onto the stream (both sides divide the same integers, so the doubles
+    hash identically)."""
+    from sous_chef_ray.stages.join import broadcast_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                        "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "price_cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                                   pa.int64()),
+        })
+
+    lc = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    totals = (
+        lc.groupby("l_returnflag")
+        .aggregate(Sum("price_cents", alias_name="flag_total"))
+        .to_pandas()
+    )
+    out = broadcast_join(lc, totals, on="l_returnflag")
+    return out.map_batches(
+        lambda t: t.append_column(
+            "ratio_to_flag",
+            pc.divide(pc.cast(t["price_cents"], pa.float64()),
+                      pc.cast(t["flag_total"], pa.float64())),
+        ).select(["l_returnflag", "l_orderkey", "l_linenumber",
+                  "price_cents", "ratio_to_flag"]),
+        batch_format="pyarrow",
+    )
+
+
 _ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
