@@ -2953,6 +2953,475 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MODE() aggregate (most frequent value per group, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+SELECT user_id, event_type AS mode_event_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) t
+WHERE rn = 1
+"""
+
+
+@register("mode_event_type_per_user", _MODE_SQL)
+def mode_event_type_per_user(sf_dir: str):
+    """MODE() per group: hash-aggregate (user, value) counts — the shuffle
+    moves one row per distinct pair, not per event — then a per-user top-1
+    with a deterministic (count DESC, value ASC) tie-break."""
+    from sous_chef_ray.stages.window import topk_per_group
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = ev.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="n")
+    )
+    top = topk_per_group(
+        counts, "user_id", ["n", "event_type"], k=1,
+        descending=[True, False], num_buckets=_buckets(sf_dir, "events"),
+    )
+    return top.rename_columns({"event_type": "mode_event_type"}).select_columns(
+        ["user_id", "mode_event_type", "n"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join decorrelated to a pre-aggregate
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_q4", _Q4_SQL)
+def order_priority_q4(sf_dir: str):
+    """Correlated EXISTS decorrelated: the subquery only asks whether ANY
+    lineitem ships after the order date, so a per-orderkey MAX(l_shipdate)
+    pre-aggregate (orders-sized, not lineitem-sized) replaces the
+    semi-join fan-out; then one hash join + vectorized compare + count."""
+    from sous_chef_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def as_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        })
+
+    max_ship = (
+        li.map_batches(as_int, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey").aggregate(Max("ship_us", alias_name="max_ship_us"))
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(orders, max_ship, on="o_orderkey", right_on="l_orderkey",
+                  num_partitions=8)
+
+    def late(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        return t.filter(pc.greater(t["max_ship_us"], od)).select(
+            ["o_orderpriority"])
+
+    return (
+        j.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: LEFT join + two-level aggregation (customer order dist.)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT n_orders, COUNT(*) AS n_cust FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY n_orders
+"""
+
+
+@register("customer_order_distribution_q13", _Q13_SQL)
+def customer_order_distribution_q13(sf_dir: str):
+    """Two-level aggregation: orders pre-aggregate to per-customer counts
+    (one row per customer leaves the first shuffle), LEFT join keeps
+    order-less customers as count 0, second tiny aggregate builds the
+    histogram."""
+    from sous_chef_ray.stages.join import hash_join
+
+    counts = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    j = hash_join(cust, counts, on="c_custkey", right_on="o_custkey",
+                  join_type="left_outer", num_partitions=8)
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0)
+        return pa.table({"n_orders": n})
+
+    return (
+        j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_orders").aggregate(Count(alias_name="n_cust"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional revenue ratio over a join (promo share)
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+SELECT 100.0 * promo_e4 / total_e4 AS promo_pct,
+       promo_e4 / 10000.0 AS promo_revenue,
+       total_e4 / 10000.0 AS total_revenue
+FROM (
+  SELECT SUM(CASE WHEN p.p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS promo_e4,
+         SUM(rev_e4) AS total_e4
+  FROM (SELECT l_partkey,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                 AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-02-01') l
+  JOIN part p ON l.l_partkey = p.p_partkey) t
+"""
+
+
+@register("promo_revenue_q14", _Q14_SQL)
+def promo_revenue_q14(sf_dir: str):
+    """Promo-revenue ratio: month filter pushed into the lineitem scan,
+    revenue pre-derived to exact integer e4-cents per batch, one hash join
+    against part, then a 2-sum global aggregate → a single ratio row."""
+    from sous_chef_ray.stages.join import hash_join
+
+    lo = pd.Timestamp("1997-01-01").value // 1000  # us
+    hi = pd.Timestamp("1997-02-01").value // 1000
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["l_shipdate"], pa.int64())
+        m = pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        e4 = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "rev_e4": e4})
+
+    slim = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j = hash_join(slim, part, on="l_partkey", right_on="p_partkey",
+                  num_partitions=8)
+
+    def split(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(pc.equal(t["p_type"], "PROMO"), t["rev_e4"],
+                           pa.scalar(0, pa.int64()))
+        return pa.table({"promo_e4": promo, "total_e4": t["rev_e4"]})
+
+    agg = (
+        j.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("promo_e4", alias_name="promo_e4"),
+                   Sum("total_e4", alias_name="total_e4"))
+    )
+    promo, total = agg["promo_e4"], agg["total_e4"]
+    return pd.DataFrame({
+        "promo_pct": [100.0 * promo / total],
+        "promo_revenue": [promo / 10000.0],
+        "total_revenue": [total / 10000.0],
+    })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: argmax over a grouped aggregate (top supplier)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, rev_e4 / 10000.0 AS total_revenue
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+"""
+
+
+@register("top_supplier_q15", _Q15_SQL)
+def top_supplier_q15(sf_dir: str):
+    """Argmax over a grouped aggregate: per-supplier exact-integer revenue
+    (supplier-sized after the first shuffle), global MAX as a scalar
+    aggregate, vectorized equality filter. The argmax row set is bounded
+    by the number of MAX ties (~1 row), so it is BROADCAST and the
+    supplier table streams past it — a hash join here would feed Ray's
+    join a nearly-all-empty left side, which Ray 2.49 mishandles (empty
+    hash partitions lose their schema and Acero rejects the key ref)."""
+    from sous_chef_ray.stages.join import broadcast_join
+
+    lo = pd.Timestamp("1997-01-01").value // 1000
+    hi = pd.Timestamp("1997-04-01").value // 1000
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        e4 = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev_e4": e4})
+
+    rev = (
+        li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey").aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .materialize()
+    )
+    best = rev.aggregate(Max("rev_e4", alias_name="best"))["best"]
+    top = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["rev_e4"], best)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()  # bounded: one row per MAX tie
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    j = broadcast_join(supp, top, on="s_suppkey", right_on="l_suppkey",
+                       concurrency=2)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "s_name": t["s_name"],
+            "total_revenue": pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                                       10000.0),
+        })
+
+    return j.map_batches(out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-predicate join (OR of AND-groups)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT SUM(rev_e4) / 10000.0 AS revenue, COUNT(*) AS n_items
+FROM (SELECT l_partkey, l_quantity,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               AS rev_e4
+      FROM lineitem) l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("disjunctive_part_revenue_q19", _Q19_SQL)
+def disjunctive_part_revenue_q19(sf_dir: str):
+    """Disjunctive (OR-of-AND-groups) join predicate: the part side is
+    pre-filtered to the union of the brand/size groups BEFORE the join
+    (shrinks the build side), the residual quantity conjunctions are
+    evaluated vectorized after the join."""
+    from sous_chef_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        e4 = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "l_quantity": t["l_quantity"], "rev_e4": e4})
+
+    groups = [("Brand#13", 1, 5, 1.0, 11.0),
+              ("Brand#22", 1, 10, 10.0, 20.0),
+              ("Brand#16", 1, 15, 20.0, 30.0)]
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_prefilter(t: pa.Table) -> pa.Table:
+        m = None
+        for brand, slo, shi, _, _ in groups:
+            g = pc.and_(pc.equal(t["p_brand"], brand),
+                        pc.and_(pc.greater_equal(t["p_size"], slo),
+                                pc.less_equal(t["p_size"], shi)))
+            m = g if m is None else pc.or_(m, g)
+        return t.filter(m)
+
+    slim_li = li.map_batches(derive, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    slim_part = part.map_batches(part_prefilter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    j = hash_join(slim_li, slim_part, on="l_partkey", right_on="p_partkey",
+                  num_partitions=8)
+
+    def residual(t: pa.Table) -> pa.Table:
+        m = None
+        for brand, slo, shi, qlo, qhi in groups:
+            g = pc.and_(
+                pc.and_(pc.equal(t["p_brand"], brand),
+                        pc.and_(pc.greater_equal(t["p_size"], slo),
+                                pc.less_equal(t["p_size"], shi))),
+                pc.and_(pc.greater_equal(t["l_quantity"], qlo),
+                        pc.less_equal(t["l_quantity"], qhi)),
+            )
+            m = g if m is None else pc.or_(m, g)
+        return t.filter(m).select(["rev_e4"])
+
+    agg = (
+        j.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"),
+                   Count(alias_name="n_items"))
+    )
+    return pd.DataFrame({"revenue": [(agg["rev_e4"] or 0) / 10000.0],
+                         "n_items": [agg["n_items"]]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-average subquery (exact integer compare) + anti join
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_custkey, c_acctbal
+FROM customer, stats
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+@register("idle_rich_customers_q22", _Q22_SQL)
+def idle_rich_customers_q22(sf_dir: str):
+    """Scalar AVG subquery + NOT EXISTS: the average compare is done as an
+    exact integer cross-multiplication (cents * count > sum_cents) so both
+    engines agree bit-for-bit at the threshold; the anti-join key set
+    (customers with a RECENT order — every sf0.01 customer has SOME
+    order, so the date predicate keeps the anti join non-trivial) is
+    reduced distributedly then broadcast."""
+    from sous_chef_ray.stages.join import anti_join, distinct_key_array
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def cents_pos(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        c = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        return pa.table({"cents": c})
+
+    stats = (
+        cust.map_batches(cents_pos, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .aggregate(Sum("cents", alias_name="s"), Count(alias_name="n"))
+    )
+    s, n = stats["s"], stats["n"]
+
+    def rich(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        return t.filter(pc.greater(pc.multiply(c, n), s))
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    cut = pd.Timestamp("2000-01-01").value // 1000  # us
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.cast(t["o_orderdate"], pa.int64()), cut)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return anti_join(rich_ds, distinct_key_array(recent, "o_custkey"),
+                     "c_custkey", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# Distributed vocabulary build (explode + partial count + hash aggregate)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
+@register("vocab_top_terms", _VOCAB_SQL)
+def vocab_top_terms(sf_dir: str):
+    """Corpus vocabulary: whitespace tokens exploded and PARTIALLY counted
+    per batch (value_counts inside map_batches) so the shuffle moves one
+    row per distinct (batch, token), not one per token occurrence; global
+    hash aggregate + deterministic top-50."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    return (
+        docs.map_batches(partial_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch frequency estimates (exact when domain << width)
+# ---------------------------------------------------------------------------
+
+_CMS_SQL = """
+SELECT event_type, COUNT(*) AS est_n FROM events GROUP BY event_type
+"""
+
+
+@register("cms_event_type_counts", _CMS_SQL)
+def cms_event_type_counts(sf_dir: str):
+    """Count-Min frequency estimates per event_type: per-batch exact
+    value_counts fold into fixed (d×w×8)-byte partial tables that
+    sum-merge — the shuffle moves sketches, never events. With the
+    event-type domain (~5 values) far below w=2048, no two types
+    collide in all d=4 rows, so the deterministic estimates equal the
+    exact counts and an exact COUNT(*) oracle applies; at adversarial
+    cardinalities the same sketch degrades gracefully to the
+    n·e/w-bounded overestimate."""
+    from sous_chef_ray.stages.join import distinct_key_array
+    from sous_chef_ray.stages.sketch import countmin_of
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    sk = countmin_of(ev, "event_type", w=2048, d=4)
+    types = sorted(distinct_key_array(ev, "event_type").to_pylist())
+    vals = pd.Series(types, dtype="object")
+    return pd.DataFrame({
+        "event_type": vals,
+        "est_n": sk.estimate(vals).astype("int64"),
+    })
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the driver's correctness gate checks the FIRST ~50
 # registered queries, so every exact-oracle §2.F / north-rule operator must
 # land inside that window; redundant SQL-surface variants and rows-only

@@ -443,3 +443,93 @@ try:
 
 except ImportError:  # pragma: no cover - older Ray without V2
     KllQuantile = None
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable approximate frequency counts
+# ---------------------------------------------------------------------------
+
+class CountMinSketch:
+    """Count-Min (Cormode & Muthukrishnan 2005): ``d`` rows of ``w``
+    int64 counters; an item maps to one counter per row via independent
+    avalanched hashes, its estimate is the MIN over rows (always an
+    OVERestimate, error ≤ n·e/w with prob 1-e^-d). Counter arrays add
+    element-wise, so per-block partials merge in any tree shape — the
+    mergeable-summary shape every sketch here follows.
+
+    Hash probes use a per-row splitmix64 avalanche of the base key hash
+    (NOT i·h2 double hashing, which produced lattice-correlated probes —
+    see stages/bloom.py:_splitmix64)."""
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        self.w = w
+        self.d = d
+        self.table = np.zeros((d, w), dtype=np.int64)
+
+    @staticmethod
+    def _splitmix64(z: np.ndarray) -> np.ndarray:
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def _positions(self, values: pd.Series) -> np.ndarray:
+        """(d, n) column indices for each value."""
+        h1 = pd.util.hash_pandas_object(values, index=False).to_numpy()
+        seeds = self._splitmix64(
+            np.arange(1, self.d + 1, dtype=np.uint64))[:, None]
+        mixed = self._splitmix64(h1[None, :] ^ seeds)
+        return (mixed % np.uint64(self.w)).astype(np.int64)
+
+    def add_values(self, values: pd.Series, counts: np.ndarray) -> None:
+        """Bulk add: ``counts[i]`` occurrences of ``values[i]``."""
+        pos = self._positions(values)
+        for r in range(self.d):
+            np.add.at(self.table[r], pos[r], counts)
+
+    def estimate(self, values: pd.Series) -> np.ndarray:
+        pos = self._positions(values)
+        ests = np.stack([self.table[r][pos[r]] for r in range(self.d)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.w, self.d) == (other.w, other.d)
+        self.table += other.table
+        return self
+
+    def serialize(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes, w: int, d: int) -> "CountMinSketch":
+        sk = cls(w, d)
+        sk.table = np.frombuffer(blob, dtype=np.int64).reshape(d, w).copy()
+        return sk
+
+
+def countmin_of(
+    ds: "rd.Dataset", col: str, w: int = 2048, d: int = 4
+) -> CountMinSketch:
+    """Distributed Count-Min build: each batch collapses to exact
+    value_counts then folds them into one (d×w×8)-byte partial; the
+    shuffle moves fixed-size tables, never values. Pair with
+    ``frequent_items`` (Misra-Gries) for the candidate set — MG finds
+    WHICH items are hot, Count-Min refines HOW hot (MG underestimates,
+    CM overestimates, so [mg_est, cm_est] brackets the true count)."""
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sk = CountMinSketch(w, d)
+        if len(df):
+            vc = df[col].value_counts()
+            sk.add_values(
+                pd.Series(vc.index), vc.to_numpy(dtype=np.int64)
+            )
+        return pd.DataFrame({"cms": [sk.serialize()]})
+
+    merged = CountMinSketch(w, d)
+    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        for blob in batch["cms"]:
+            merged.merge(CountMinSketch.deserialize(blob, w, d))
+    return merged

@@ -224,3 +224,57 @@ def test_kll_grouped_aggregate_accuracy():
         # rank of the estimate must be within 2.5% of the true median rank
         rank = np.searchsorted(v, out[g]) / len(v)
         assert abs(rank - 0.5) < 0.025, (g, rank)
+
+
+def test_countmin_exact_small_domain_and_merge():
+    """Small domain << width → exact counts; halves sum-merge to whole."""
+    from sous_chef_ray.stages.sketch import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    vals = pd.Series(rng.choice(list("abcde"), 30_000))
+    vc = vals.value_counts()
+    items = pd.Series(vc.index)
+
+    full = CountMinSketch(w=2048, d=4)
+    full.add_values(items, vc.to_numpy(dtype=np.int64))
+    assert (full.estimate(items) == vc.to_numpy()).all()
+
+    a, b = CountMinSketch(w=2048, d=4), CountMinSketch(w=2048, d=4)
+    half = vals[:15_000].value_counts()
+    rest = vals[15_000:].value_counts()
+    a.add_values(pd.Series(half.index), half.to_numpy(dtype=np.int64))
+    b.add_values(pd.Series(rest.index), rest.to_numpy(dtype=np.int64))
+    a.merge(b)
+    assert (a.table == full.table).all()
+
+
+def test_countmin_overestimate_bound_zipf():
+    """Estimates never undercount, and error stays within the n·e/w
+    bound with high probability on an adversarially wide Zipf domain."""
+    from sous_chef_ray.stages.sketch import CountMinSketch
+
+    rng = np.random.default_rng(11)
+    vals = pd.Series(rng.zipf(1.3, 100_000).astype(str))
+    vc = vals.value_counts()
+    sk = CountMinSketch(w=512, d=4)
+    sk.add_values(pd.Series(vc.index), vc.to_numpy(dtype=np.int64))
+    est = sk.estimate(pd.Series(vc.index))
+    true = vc.to_numpy()
+    assert (est >= true).all()
+    bound = len(vals) * np.e / 512
+    assert np.mean(est - true <= bound) > 0.98
+
+
+def test_countmin_distributed_matches_local():
+    """countmin_of over a 6-block Dataset == one local sketch (sum-merge
+    is exact, not approximate)."""
+    from sous_chef_ray.stages.sketch import CountMinSketch, countmin_of
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"t": rng.choice(["x", "y", "z", "w"], 20_000)})
+    dist = countmin_of(rd.from_pandas(df).repartition(6), "t", w=1024, d=3)
+    vc = df["t"].value_counts()
+    local = CountMinSketch(w=1024, d=3)
+    local.add_values(pd.Series(vc.index), vc.to_numpy(dtype=np.int64))
+    assert (dist.table == local.table).all()
+    assert (dist.estimate(pd.Series(vc.index)) == vc.to_numpy()).all()
