@@ -1737,6 +1737,24 @@ def embedding_neardup_pairs_lsh(sf_dir: str):
                             bits=2, num_tables=64, concurrency=2)
 
 
+@register("embedding_neardup_pairs_ivf", _EMB_NEARDUP_SQL)
+def embedding_neardup_pairs_ivf(sf_dir: str):
+    """Embedding-cosine near-dup pairs via the IVF-cell-bucketed scale
+    path (stages/similarity.cosine_pairs_ivf): data-adaptive k-means
+    cells replace LSH's random hyperplanes; rows multi-assign to their
+    n_assign closest cells, within-cell candidate pairs go through the
+    same distributed exact verifier. Same DuckDB oracle as the brute
+    path; n_assign == n_centroids is the exactness STRESS setting (every
+    row in every cell ⇒ distributed all-pairs by design) — production
+    near-dup thresholds keep n_assign ≪ n_centroids and candidates
+    sparse (see tests' planted-cluster case)."""
+    from sous_chef_ray.stages.similarity import cosine_pairs_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_pairs_ivf(emb, 0.3, id_col="vec_id", emb_col="embedding",
+                            n_centroids=8, n_assign=8, concurrency=2)
+
+
 _INTERSECT_SQL = """
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT

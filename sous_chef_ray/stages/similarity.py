@@ -440,6 +440,34 @@ def cosine_pairs_lsh(
         num_buckets=num_partitions,
     )
 
+    return _verify_pairs_distributed(
+        corpus, cand, threshold, id_col=id_col, emb_col=emb_col, dim=dim,
+        round_dp=round_dp, num_partitions=num_partitions,
+        concurrency=concurrency,
+    )
+
+
+def _verify_pairs_distributed(
+    corpus: "rd.Dataset",
+    cand: "rd.Dataset",
+    threshold: float,
+    *,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    round_dp: int,
+    num_partitions: int,
+    concurrency: int | tuple,
+) -> pd.DataFrame:
+    """Exact-cosine verification of a candidate-pair Dataset, fully
+    distributed (shared by the LSH- and IVF-bucketed pairs paths):
+    semi-join the corpus to candidate ids, ship each candidate's
+    normalized embedding as a binary blob (Arrow hash join rejects list
+    payloads), hash-join onto the pair set on id_a then id_b, one
+    vectorized row-wise dot per batch, keep cosine ≥ threshold. Every
+    intermediate is bounded by the CANDIDATE set, never the corpus."""
+    from sous_chef_ray.stages.join import hash_join, semi_join
+
     pair_tbl = pa.concat_tables(
         cand.iter_batches(batch_size=None, batch_format="pyarrow")
     )
@@ -507,3 +535,92 @@ def cosine_pairs_lsh(
     if "id_a" not in out.columns:
         return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def cosine_pairs_ivf(
+    corpus: "rd.Dataset",
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 64,
+    n_assign: int = 4,
+    sample_rows: int = 20000,
+    dim: Optional[int] = None,
+    seed: int = 13,
+    round_dp: int = 6,
+    bucket_cap: int = 4096,
+    num_partitions: int = 32,
+    concurrency: int | tuple = 4,
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup PAIRS, IVF-cell-bucketed — the second
+    scale path beside :func:`cosine_pairs_lsh`, trading LSH's random
+    hyperplanes for data-adaptive k-means cells (tighter buckets when
+    the corpus is clustered, as near-dup corpora are).
+
+    Plan: train a spherical k-means quantizer on a bounded driver-side
+    sample (few MB at any corpus scale), broadcast the centroids, then
+    each row emits ``n_assign`` slim (cell, id) rows for its closest
+    cells — multi-assignment so a near-dup pair straddling a cell
+    boundary still co-occurs somewhere. groupby(cell) yields candidate
+    pairs (``bucket_cap`` chain guard on degenerate cells), pairs dedup
+    by hash partition, and the shared distributed verifier scores them
+    exactly. Embeddings never ride the shuffle; the driver never sees
+    the corpus. A pair is missed only if the two rows share none of
+    their n_assign cells — raise n_assign (or n_centroids↓) for recall,
+    n_assign == n_centroids degenerates to exact all-pairs."""
+    from sous_chef_ray.stages.partition import partition_apply
+
+    if dim is None:
+        row = corpus.limit(1).take_all()
+        dim = len(row[0][emb_col])
+    sample_tbl = pa.concat_tables(
+        corpus.limit(sample_rows).iter_batches(batch_size=None,
+                                               batch_format="pyarrow")
+    )
+    cent = _kmeans(_emb_matrix(sample_tbl, emb_col), n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+    r = min(n_assign, cent.shape[0])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ ray.get(cent_ref).T  # (rows, n_centroids)
+        cells = np.argpartition(-sims, r - 1, axis=1)[:, :r]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell": pa.array(cells.reshape(-1).astype(np.int32)),
+            id_col: pa.array(np.repeat(ids, r)),
+        })
+
+    buckets = corpus.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(ids) > bucket_cap:
+            import logging
+
+            logging.getLogger("sous_chef_ray.similarity").warning(
+                "IVF cosine cell of size %d exceeds cap %d; chain pairs",
+                len(ids), bucket_cap,
+            )
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = partition_apply(
+        buckets.groupby("cell").map_groups(pairs, batch_format="pandas")
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas"),
+        ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_partitions,
+    )
+    return _verify_pairs_distributed(
+        corpus, cand, threshold, id_col=id_col, emb_col=emb_col, dim=dim,
+        round_dp=round_dp, num_partitions=num_partitions,
+        concurrency=concurrency,
+    )

@@ -1,6 +1,7 @@
 """Multimodal plumbing + LSH-approximate similarity tests."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -324,3 +325,57 @@ def test_wav_roundtrip_and_decode_stage():
     assert abs(out["duration_sec"].iloc[1] - 0.5) < 1e-9
     assert abs(out["rms"].iloc[0] - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
     assert out["peak"].iloc[0] <= 0.5001
+
+
+def test_cosine_pairs_ivf_planted_clusters():
+    """IVF-cell-bucketed pairs recover ≥0.95 of brute-force pairs on
+    planted clusters and never emit a false positive (exact verify)."""
+    from sous_chef_ray.stages.similarity import cosine_pairs_above, cosine_pairs_ivf
+
+    rng = np.random.default_rng(17)
+    dim = 32
+    bases = rng.standard_normal((10, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows = []
+    for b in bases:
+        for _ in range(4):
+            v = b + 0.05 * rng.standard_normal(dim)
+            rows.append(v / np.linalg.norm(v))
+    noise = rng.standard_normal((160, dim))
+    rows.extend(noise / np.linalg.norm(noise, axis=1, keepdims=True))
+    pts = np.asarray(rows, dtype=np.float64)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    bf = cosine_pairs_above(ds, 0.9, id_col="vec_id", emb_col="embedding",
+                            concurrency=2)
+    ivf = cosine_pairs_ivf(ds, 0.9, id_col="vec_id", emb_col="embedding",
+                           n_centroids=16, n_assign=4, concurrency=2)
+    assert len(bf) >= 10
+    truth = set(zip(bf["id_a"], bf["id_b"]))
+    got = set(zip(ivf["id_a"], ivf["id_b"]))
+    assert got <= truth
+    assert len(got & truth) / len(truth) >= 0.95
+
+
+def test_cosine_pairs_ivf_full_assign_matches_brute_force():
+    """n_assign == n_centroids puts every row in every cell → the IVF
+    path degenerates to exact all-pairs equality with brute force."""
+    from sous_chef_ray.stages.similarity import cosine_pairs_above, cosine_pairs_ivf
+
+    rng = np.random.default_rng(23)
+    pts = rng.standard_normal((120, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    bf = cosine_pairs_above(ds, 0.3, id_col="vec_id", emb_col="embedding",
+                            concurrency=2)
+    ivf = cosine_pairs_ivf(ds, 0.3, id_col="vec_id", emb_col="embedding",
+                           n_centroids=8, n_assign=8, concurrency=2)
+    pd.testing.assert_frame_equal(
+        bf.reset_index(drop=True), ivf.reset_index(drop=True)
+    )
