@@ -3408,6 +3408,243 @@ def vocab_top_terms(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q5 shape: star join through two fact tables + dim broadcast chain
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+SELECT n.n_name, CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("local_supplier_volume_q5", _Q5_SQL)
+def local_supplier_volume_q5(sf_dir: str):
+    """Six-table star join with ONE large-large hash join: region/nation/
+    supplier are driver-read dims (broadcast maps), the year filter prunes
+    orders before the shuffle, customer nationkeys ride the orders join,
+    and the same-nation condition is a vectorized compare after broadcast
+    lookups — lineitem, the big fact, is touched once and never re-keyed.
+    The two large joins are separated by a materialize: two pipelined Ray
+    JoinOperators over-reserve aggregator actors and deadlock at low CPU
+    counts."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.join import broadcast_join, hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_key = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], asia_key))
+    nat_keys = set(nat["n_nationkey"].to_pylist())
+    nat_df = nat.select(["n_nationkey", "n_name"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_f = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(pc.cast(t["o_orderdate"], pa.int64()), lo),
+            pc.less(pc.cast(t["o_orderdate"], pa.int64()), hi),
+        )).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_f = cust.map_batches(
+        lambda t, ks=list(nat_keys): t.filter(
+            pc.is_in(t["c_nationkey"], value_set=pa.array(ks))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    o_c = hash_join(orders_f, cust_f, on="o_custkey", right_on="c_custkey",
+                    num_partitions=8).select_columns(
+        ["o_orderkey", "c_nationkey"]).materialize()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "rev_e4": e4})
+
+    li_r = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li_r, o_c, on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=8)
+    with_supp = broadcast_join(j, supp, on="l_suppkey", right_on="s_suppkey",
+                               concurrency=2)
+    same_nation = with_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    named = broadcast_join(same_nation, nat_df, on="s_nationkey",
+                           right_on="n_nationkey", concurrency=2)
+    return (
+        named.groupby("n_name").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer, top 20
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, t.revenue_e4, c.c_acctbal, n.n_name
+FROM (SELECT o.o_custkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY o.o_custkey) t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY t.revenue_e4 DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_item_revenue_q10", _Q10_SQL)
+def returned_item_revenue_q10(sf_dir: str):
+    """Lost-revenue-per-customer: lineitem pre-reduces to per-ORDER
+    returned revenue before any join (the only lineitem-sized shuffle is
+    that pre-aggregate), one hash join to quarter-filtered orders,
+    re-aggregate per customer, then broadcast customer/nation attributes
+    onto the (customer-sized) result and take a deterministic top 20."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.join import broadcast_join, hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        e4 = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": e4})
+
+    per_order = (
+        li.map_batches(returned_rev, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+    lo = pd.Timestamp("1996-07-01").value // 1000
+    hi = pd.Timestamp("1996-10-01").value // 1000
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_f = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(pc.cast(t["o_orderdate"], pa.int64()), lo),
+            pc.less(pc.cast(t["o_orderdate"], pa.int64()), hi),
+        )).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    per_cust = (
+        hash_join(per_order, orders_f, on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=8)
+        .groupby("o_custkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    named = broadcast_join(per_cust, cust, on="o_custkey",
+                           right_on="c_custkey", concurrency=2)
+    top = (
+        named.sort(["revenue_e4", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+    return top.select_columns(
+        ["c_custkey", "c_name", "revenue_e4", "c_acctbal", "n_name"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated per-part average → broadcast threshold map
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+     agg AS (SELECT l.l_partkey,
+                    SUM(CAST(l.l_quantity AS BIGINT)) AS s, COUNT(*) AS n
+             FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+             GROUP BY l.l_partkey)
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_e2,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.n < a.s
+"""
+
+
+@register("small_quantity_revenue_q17", _Q17_SQL)
+def small_quantity_revenue_q17(sf_dir: str):
+    """Correlated per-part AVG decorrelated: the brand's partkey set is
+    tiny, so lineitem semi-filters against it, per-part (sum_qty, count)
+    aggregates to a brand-sized map that BROADCASTS back, and the
+    below-one-fifth-of-average test is the exact integer cross-multiply
+    5·qty·n < s — no float average ever computed, both engines agree
+    bit-for-bit at the threshold."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.join import broadcast_join, semi_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = part.filter(pc.equal(part["p_brand"], "Brand#23"))["p_partkey"]
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li_b = semi_join(li, keys.combine_chunks(), "l_partkey", concurrency=2)
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "price_e2": pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], 100.0)), pa.int64()),
+        })
+
+    slim = li_b.map_batches(qty_int, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    stats = (
+        slim.groupby("l_partkey")
+        .aggregate(Sum("qty", alias_name="s"), Count(alias_name="n"))
+    ).to_pandas()  # bounded: one row per brand part
+    tagged = broadcast_join(slim, stats, on="l_partkey", concurrency=2)
+
+    def below(t: pa.Table) -> pa.Table:
+        keep = pc.less(pc.multiply(pc.multiply(t["qty"], 5), t["n"]), t["s"])
+        return t.filter(keep).select(["price_e2"])
+
+    agg = (
+        tagged.map_batches(below, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("price_e2", alias_name="price_e2"),
+                   Count(alias_name="n_items"))
+    )
+    return pd.DataFrame({"price_e2": [agg["price_e2"] or 0],
+                         "n_items": [agg["n_items"]]})
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch frequency estimates (exact when domain << width)
 # ---------------------------------------------------------------------------
 
