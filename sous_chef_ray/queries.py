@@ -3408,6 +3408,66 @@ def vocab_top_terms(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF-style distinctive terms per document (tf × df join, top-3)
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+ tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token <> '' GROUP BY doc_id, token),
+ df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+SELECT doc_id, token, tf, df FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df, tf.token) AS rn
+  FROM tf JOIN df USING (token)) t
+WHERE rn <= 3
+"""
+
+
+@register("doc_distinctive_terms", _TFIDF_SQL)
+def doc_distinctive_terms(sf_dir: str):
+    """TF-IDF-shaped distinctive terms: each document's top-3 tokens by
+    (term frequency DESC, document frequency ASC) — the exact integer
+    ranking that makes the float idf = ln(N/df) ordering reproducible
+    against SQL (ln() is not bit-identical across engines; the integer
+    (tf, df) key orders the same pairs). Plan: tf is computed WITHOUT a
+    shuffle (a document is one row, so one pass of per-batch pandas
+    groupby is exact), df is a token-keyed hash aggregate over the
+    (doc, token) distinct rows, tf⋈df is a large-large hash join on
+    token, and the per-doc top-3 is a bucketed QUALIFY — every stage
+    streams, nothing doc-corpus-sized reaches the driver."""
+    from sous_chef_ray.stages.join import hash_join
+    from sous_chef_ray.stages.window import topk_per_group
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_batch(df_: pd.DataFrame) -> pd.DataFrame:
+        toks = df_["text"].str.split(" ")
+        n = toks.str.len()
+        flat = pd.DataFrame({
+            "doc_id": df_["doc_id"].repeat(n).to_numpy(),
+            "token": np.concatenate(toks.to_numpy()),
+        })
+        flat = flat[flat["token"] != ""]
+        out = flat.groupby(["doc_id", "token"], sort=False).size()
+        out = out.rename("tf").reset_index()
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf = docs.map_batches(tf_batch, batch_format="pandas").materialize()
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(tf, df, on="token", num_partitions=8)
+    top = topk_per_group(
+        joined, "doc_id", ["tf", "df", "token"], k=3,
+        descending=[True, False, False],
+        num_buckets=_buckets(sf_dir, "documents"),
+    )
+    return top.select_columns(["doc_id", "token", "tf", "df"])
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q5 shape: star join through two fact tables + dim broadcast chain
 # ---------------------------------------------------------------------------
 
