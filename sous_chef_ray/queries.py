@@ -3408,6 +3408,120 @@ def vocab_top_terms(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# NTH_VALUE window function (whole-partition frame)
+# ---------------------------------------------------------------------------
+
+_NTH_SQL = """
+SELECT user_id, event_id, ts,
+       NTH_VALUE(event_id, 3) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS event_id_nth3
+FROM events
+"""
+
+
+@register("event_nth_value", _NTH_SQL)
+def event_nth_value(sf_dir: str):
+    """NTH_VALUE over the whole key partition: one bucketed sort per
+    key, the n-th slot is group_start+(n-1) validity-masked against the
+    group end — same single-shuffle plan as FIRST/LAST_VALUE."""
+    from sous_chef_ray.stages.window import with_nth_value
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = with_nth_value(
+        ev, "user_id", ["ts", "event_id"], "event_id", 3,
+        num_buckets=_buckets(sf_dir, "events"),
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "event_id_nth3"])
+
+
+# ---------------------------------------------------------------------------
+# CORR / COVAR_SAMP via exact integer cross moments
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                  * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)
+                  * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                  * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS covar_samp,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / sqrt(CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                     * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+                     AS DOUBLE))
+         AS corr_qty_price
+FROM m
+"""
+
+
+@register("corr_qty_price_per_flag", _CORR_SQL)
+def corr_qty_price_per_flag(sf_dir: str):
+    """CORR / COVAR_SAMP via exact integer CROSS moments (the
+    value_moments_per_type determinism recipe extended to two columns):
+    both engines sum x, y, x², y², xy as int64 over rounded whole units
+    (order-independent), then compute n·Sxy−Sx·Sy and the variance
+    product EXACTLY in wide integers (HUGEINT / Python int — these
+    products exceed 2⁵³, where double arithmetic rounds differently per
+    engine) and convert to double ONCE; sqrt and divide are correctly
+    rounded IEEE, so the doubles are bit-identical. Whole units (not
+    cents) keep y² sums ~4 decimal digits inside int64 at sf1."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        # floor(x+0.5), NOT pc.round: Arrow rounds half-to-even, DuckDB
+        # ROUND half-away — whole-unit rounding of 2-decimal prices hits
+        # .5 ties (the *100 cents trick never does); half-UP is the one
+        # tie rule both engines express identically
+        x = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        y = pc.cast(pc.floor(pc.add(t["l_extendedprice"], 0.5)), pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        })
+
+    agg = (
+        li.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"), Sum("yy", alias_name="syy"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    nf = agg["n"].astype("float64")
+    # exact wide-integer numerator/denominator (Python ints), ONE
+    # int→double rounding — mirrors the SQL's HUGEINT arithmetic
+    num = pd.Series(
+        [int(n) * int(sxy) - int(sx) * int(sy)
+         for n, sxy, sx, sy in zip(agg["n"], agg["sxy"], agg["sx"], agg["sy"])]
+    ).astype("float64")
+    den = pd.Series(
+        [(int(n) * int(sxx) - int(sx) ** 2) * (int(n) * int(syy) - int(sy) ** 2)
+         for n, sxx, sx, syy, sy
+         in zip(agg["n"], agg["sxx"], agg["sx"], agg["syy"], agg["sy"])]
+    ).astype("float64")
+    agg["covar_samp"] = num / (nf * (nf - 1))
+    agg["corr_qty_price"] = num / np.sqrt(den)
+    return agg[["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy",
+                "covar_samp", "corr_qty_price"]]
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF-style distinctive terms per document (tf × df join, top-3)
 # ---------------------------------------------------------------------------
 

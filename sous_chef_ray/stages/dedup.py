@@ -97,7 +97,9 @@ def hash_split(
     bounds = np.cumsum([fractions[n] for n in names])
     if not 0.999 <= bounds[-1] <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {bounds[-1]}")
-    salt = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
+    # modular 2^64 product (computed in Python ints to avoid the numpy
+    # scalar-overflow RuntimeWarning — the wraparound is the point)
+    salt = np.uint64((0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()

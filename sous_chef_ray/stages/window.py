@@ -197,6 +197,41 @@ def with_first_last(
     return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
+def with_nth_value(
+    ds: "rd.Dataset",
+    partition_by: List[str] | str,
+    order_by: List[str] | str,
+    col: str,
+    n: int,
+    out_name: Optional[str] = None,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """NTH_VALUE(col, n) OVER (PARTITION BY ... ORDER BY ...) with the
+    whole-partition frame: every row of a key gets the key's n-th value
+    in order (1-based), NULL when the key has fewer than n rows. Same
+    bucketed one-sort plan as FIRST/LAST_VALUE — the n-th index is just
+    group_start + (n-1), validity-masked against the group end."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
+    out_name = out_name or f"{col}_nth{n}"
+
+    def fn(t: pa.Table) -> pa.Table:
+        t, key_change, group_start, arange = _sorted_with_bounds(t, keys, order, False)
+        m = len(t)
+        key_end = np.zeros(m, dtype=bool)
+        if m:
+            key_end[-1] = True
+            key_end[:-1] = key_change[1:]
+        group_end = np.minimum.accumulate(np.where(key_end, arange, m)[::-1])[::-1]
+        nth_idx = group_start + (n - 1)
+        valid = nth_idx <= group_end
+        c = t[col].combine_chunks()
+        taken = c.take(pa.array(np.where(valid, nth_idx, 0)))
+        vals = pc.if_else(pa.array(valid), taken, pa.nulls(m, c.type))
+        return t.append_column(out_name, vals)
+
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
+
+
 def with_rolling_sum_count(
     ds: "rd.Dataset",
     partition_by: List[str] | str,

@@ -127,3 +127,24 @@ def test_rolling_and_running_sum_skip_nulls():
     )
     assert list(run[run["k"] == "a"]["running_sum"]) == [1.0, 1.0, 4.0, 4.0, 9.0]
     assert run[run["k"] == "b"]["running_sum"].isna().all()
+
+
+def test_nth_value_null_when_partition_too_small():
+    """NTH_VALUE(col, 3): keys with <3 rows get NULL; others get the
+    3rd value in (ts) order on every row of the key."""
+    import pandas as pd
+
+    from sous_chef_ray.stages.window import with_nth_value
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b"],
+        "ts": [3, 1, 2, 4, 1, 2],
+        "v": [30, 10, 20, 40, 100, 200],
+    })
+    out = (
+        with_nth_value(rd.from_pandas(df).repartition(3), "k", "ts", "v", 3,
+                       num_buckets=2)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert out[out["k"] == "a"]["v_nth3"].tolist() == [30, 30, 30, 30]
+    assert out[out["k"] == "b"]["v_nth3"].isna().all()
