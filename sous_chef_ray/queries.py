@@ -1613,6 +1613,54 @@ def lineitem_grouping_sets(sf_dir: str):
     return out
 
 
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_cube", _CUBE_SQL)
+def lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE (a, b) = GROUPING SETS ((a,b),(a),(b),()): the
+    same one-streaming-pass plan as lineitem_grouping_sets — the raw
+    table aggregates once to the (a, b) base (driver-sized: |a|×|b|
+    rows) and all four sets re-aggregate from that base."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                             pa.int64()),
+        })
+
+    base = (
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="price_cents"))
+        .to_pandas()
+    )
+    by_flag = base.groupby("l_returnflag", as_index=False)[["n", "price_cents"]].sum()
+    by_flag["l_linestatus"] = None
+    by_status = base.groupby("l_linestatus", as_index=False)[["n", "price_cents"]].sum()
+    by_status["l_returnflag"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "n": [base["n"].sum()], "price_cents": [base["price_cents"].sum()],
+    })
+    out = pd.concat(
+        [base, by_flag, by_status, total], ignore_index=True
+    )[["l_returnflag", "l_linestatus", "n", "price_cents"]]
+    out["n"] = out["n"].astype("int64")
+    out["price_cents"] = out["price_cents"].astype("int64")
+    return out
+
+
 _STREAMING_SQL = """
 SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
