@@ -3456,6 +3456,124 @@ def vocab_top_terms(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Conversion funnel (conditional-min aggregate, no self-join)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+SELECT user_id, first_click, first_purchase,
+       CAST(CASE WHEN first_purchase IS NOT NULL
+                  AND first_purchase >= first_click
+                 THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM (SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id) t
+WHERE first_click IS NOT NULL
+"""
+
+
+@register("click_purchase_funnel", _FUNNEL_SQL)
+def click_purchase_funnel(sf_dir: str):
+    """Click→purchase funnel WITHOUT a self-join: the classic funnel
+    correlates two event subsets per user, but MIN(CASE WHEN ...) turns
+    it into ONE grouped aggregate over conditionally-masked timestamp
+    columns (nulls ignored by MIN) — a single shuffle of (user, 2×ts)
+    instead of events⋈events."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def masked(t: pa.Table) -> pa.Table:
+        # aggregate int64 µs, not timestamps: Ray's grouped Min pushes
+        # nullable timestamp blocks through a pandas reduce that emits
+        # object datetimes + None (ArrowConversionError → pickle blocks)
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        nulls = pa.nulls(len(t), pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "click_us": pc.if_else(pc.equal(t["event_type"], "click"), ts, nulls),
+            "purchase_us": pc.if_else(pc.equal(t["event_type"], "purchase"), ts, nulls),
+        })
+
+    agg = (
+        ev.map_batches(masked, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("click_us", alias_name="first_click_us"),
+                   Min("purchase_us", alias_name="first_purchase_us"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        fc = pc.cast(pc.cast(t["first_click_us"], pa.int64()),
+                     pa.timestamp("us"))
+        fp = pc.cast(pc.cast(t["first_purchase_us"], pa.int64()),
+                     pa.timestamp("us"))
+        t = pa.table({"user_id": t["user_id"], "first_click": fc,
+                      "first_purchase": fp})
+        t = t.filter(pc.is_valid(t["first_click"]))
+        conv = pc.and_kleene(
+            pc.is_valid(t["first_purchase"]),
+            pc.greater_equal(t["first_purchase"], t["first_click"]),
+        )
+        return t.append_column(
+            "converted", pc.cast(pc.fill_null(conv, False), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (per-user anchor broadcast + distinct reduce)
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+SELECT first_week, active_week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (SELECT e.user_id,
+             date_trunc('week', f.first_ts) AS first_week,
+             date_trunc('week', e.ts) AS active_week
+      FROM events e
+      JOIN (SELECT user_id, MIN(ts) AS first_ts
+            FROM events GROUP BY user_id) f USING (user_id)) t
+GROUP BY first_week, active_week
+"""
+
+
+@register("cohort_retention_weekly", _COHORT_SQL)
+def cohort_retention_weekly(sf_dir: str):
+    """Weekly cohort retention: per-user first-event anchors reduce to a
+    user-sized table that BROADCASTS back over the streaming events (no
+    events⋈events shuffle), per-batch distinct (first_week, active_week,
+    user) pre-dedup shrinks the shuffle to distinct triples, then one
+    hash aggregate counts users per cohort cell."""
+    from sous_chef_ray.stages.join import broadcast_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    anchors = (
+        ev.groupby("user_id").aggregate(Min("ts", alias_name="first_ts"))
+        .to_pandas()  # bounded: one row per user
+    )
+    tagged = broadcast_join(ev, anchors, on="user_id", concurrency=2)
+
+    def weeks(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "first_week": pc.floor_temporal(
+                pc.cast(t["first_ts"], pa.timestamp("us")), unit="week"),
+            "active_week": pc.floor_temporal(
+                pc.cast(t["ts"], pa.timestamp("us")), unit="week"),
+            "user_id": t["user_id"],
+        })
+        return out.group_by(
+            ["first_week", "active_week", "user_id"]).aggregate([])
+
+    from sous_chef_ray.stages.agg import count_distinct
+
+    triples = tagged.map_batches(weeks, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return count_distinct(
+        triples, ["first_week", "active_week"], "user_id", name="n_users",
+        num_buckets=_buckets(sf_dir, "events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # NTH_VALUE window function (whole-partition frame)
 # ---------------------------------------------------------------------------
 
