@@ -2856,6 +2856,22 @@ def multimodal_decode(sf_dir: str):
     return out.drop_columns(["thumbnail"])  # driver hash: keep scalar cols
 
 
+@register("gif_frame_samples")  # multi-frame decode → rows-only
+def gif_frame_samples(sf_dir: str):
+    """Animated-GIF frame sampling with a REAL codec (stages/gif.py:
+    full LZW, interlace, transparency compositing): the actor-pool stage
+    decodes each payload's composited frames and emits one true
+    pixel-stat row per sampled frame — the genuine multi-frame media
+    path (video containers remain the declared stub boundary)."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.multimodal import sample_gif_frames, synth_gif_table
+
+    gifs = synth_gif_table(96, seed=44)
+    return sample_gif_frames(rd.from_arrow(gifs), every_nth=2,
+                             concurrency=2, batch_size=16)
+
+
 @register("audio_features")  # binary decode → rows-only
 def audio_features(sf_dir: str):
     """WAV PCM decode: deterministic synthetic tones/noise clips →

@@ -147,3 +147,73 @@ def semi_join(big: "rd.Dataset", keys, col: str, concurrency: int | tuple = 4):
 def anti_join(big: "rd.Dataset", keys, col: str, concurrency: int | tuple = 4):
     """big WHERE col NOT IN (keys) — broadcast key-set filter, no shuffle."""
     return _key_set_join(big, keys, col, False, concurrency)
+
+
+def salted_hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    join_type: str = "inner",
+    factor: int = 8,
+    threshold: float = 0.01,
+    num_partitions: int = 32,
+    sample_rows: int = 250_000,
+) -> "rd.Dataset":
+    """Skew-aware equi-join (the as-of salting plan generalized to
+    ``Dataset.join``): a Zipf-hot key on the LEFT would land its entire
+    row mass in one hash partition and turn the join into a straggler.
+
+    Plan: sample-detect hot left keys; salt the left's hot rows over
+    ``factor`` pseudo-keys (``key\\x1fshard``); REPLICATE the right
+    side's hot-key rows once per shard (bounded: hot keys are few by
+    definition and the right side is assumed dim-like per key — the
+    replicated subset is collected driver-side, document the
+    assumption); cold rows pass through with bare string keys; one hash
+    join on the salted key; strip. With no hot keys detected this is
+    exactly ``hash_join``. Matches the salted-vs-unsalted equivalence
+    contract of stages/salt.py (NUL-safe separator — see SALT_SEP)."""
+    import pyarrow.compute as pc_
+
+    from sous_chef_ray.stages.salt import (
+        SALT_SEP,
+        detect_hot_keys,
+        replicate_for_salt,
+        salt_keys,
+    )
+
+    right_on = right_on or on
+    hot = detect_hot_keys(left, on, threshold=threshold,
+                          sample_rows=sample_rows)
+    if not hot:
+        return hash_join(left, right, on=on, right_on=right_on,
+                         join_type=join_type, num_partitions=num_partitions)
+
+    salted = f"{on}__salted"
+    left_s = salt_keys(left, on, hot, factor=factor, salted_name=salted)
+
+    hot_arr = pa.array(list(hot))
+    right_hot_tbl = pa.concat_tables(
+        semi_join(right, hot_arr, right_on, concurrency=2)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )  # bounded: rows of the few hot keys only
+    right_salted = f"{right_on}__salted"
+    rep = replicate_for_salt(right_hot_tbl, right_on, hot, factor=factor,
+                             salted_name=right_salted)
+
+    def cold_tag(t: pa.Table) -> pa.Table:
+        keep = pc_.invert(pc_.is_in(t[right_on], value_set=hot_arr))
+        t = t.filter(keep)
+        return t.append_column(
+            right_salted, pc_.cast(t[right_on], pa.string()))  # match from_pandas str type
+
+    right_cold = right.map_batches(cold_tag, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    right_all = right_cold.union(rd.from_pandas(rep))
+    joined = hash_join(left_s, right_all, on=salted, right_on=right_salted,
+                       join_type=join_type, num_partitions=num_partitions)
+    drop = [c for c in (salted, right_salted) if c != salted] + [salted]
+    return joined.map_batches(
+        lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -71,10 +71,17 @@ class DecodeImages:
         self.fake = fake
         self.resize_to = resize_to
         if not fake:
+            from sous_chef_ray.stages.gif import decode_gif
             from sous_chef_ray.stages.jpeg import decode_jpeg
             from sous_chef_ray.stages.png import decode_png, nn_resize
 
-            self.decoders = {"image/png": decode_png, "image/jpeg": decode_jpeg}
+            self.decoders = {
+                "image/png": decode_png,
+                "image/jpeg": decode_jpeg,
+                # animated GIF: image features come from the FIRST frame
+                # (frame-level access goes through sample_gif_frames)
+                "image/gif": lambda p: decode_gif(p)[0],
+            }
             self.resize = nn_resize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -174,6 +181,85 @@ def sample_frames(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
         concurrency=cap,
     )
+
+
+class SampleGifFrames:
+    """REAL frame sampling over animated-GIF payloads: actor-pool stage
+    (codec import once per actor), decodes each payload's composited
+    frames through stages/gif.py and emits one feature row per sampled
+    frame — the genuine multi-frame path the fake container in
+    sample_frames stands in for when the format has no local codec."""
+
+    def __init__(self, every_nth: int = 2):
+        from sous_chef_ray.stages.gif import decode_gif
+
+        self.decode = decode_gif
+        self.every_nth = every_nth
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, means, stds = [], [], [], []
+        for mid, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            frames = self.decode(p)
+            for f in range(0, len(frames), self.every_nth):
+                px = frames[f].astype(np.float64)
+                ids.append(mid)
+                fidx.append(f)
+                means.append(px.mean())
+                stds.append(px.std())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "frame_index": pa.array(fidx, type=pa.int32()),
+                "mean_px": pa.array(means, type=pa.float64()),
+                "std_px": pa.array(stds, type=pa.float64()),
+            }
+        )
+
+
+def sample_gif_frames(
+    ds: "rd.Dataset",
+    every_nth: int = 2,
+    concurrency: int | tuple = 2,
+    batch_size: int = 16,
+) -> "rd.Dataset":
+    """Animated-GIF payload column → one row per sampled decoded frame."""
+    return ds.map_batches(
+        SampleGifFrames,
+        fn_constructor_kwargs=dict(every_nth=every_nth),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=pool(concurrency),
+    )
+
+
+def synth_gif_table(n: int, seed: int = 42, return_frames: bool = False):
+    """Deterministic REAL animated-GIF payloads (encoded with
+    stages/gif.py, real LZW) with typed metadata."""
+    from sous_chef_ray.stages.gif import encode_gif
+
+    rng = np.random.default_rng(seed)
+    payloads, mids, n_frames, pixel_truth = [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, 24))
+        w = int(rng.integers(8, 24))
+        k = int(rng.integers(2, 6))
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        frames = [rng.integers(0, 16, (h, w)).astype(np.uint8) for _ in range(k)]
+        payloads.append(encode_gif(frames, palette=pal))
+        mids.append(f"gif_{i:05d}")
+        n_frames.append(k)
+        if return_frames:
+            pixel_truth.append([pal[f] for f in frames])
+    tbl = pa.table(
+        {
+            "media_id": pa.array(mids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "mime": pa.array(["image/gif"] * n),
+            "n_frames": pa.array(n_frames, type=pa.int32()),
+        }
+    )
+    return (tbl, pixel_truth) if return_frames else tbl
 
 
 def synth_png_table(n: int, seed: int = 42, return_pixels: bool = False):

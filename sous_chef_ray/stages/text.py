@@ -350,3 +350,103 @@ def add_repetition_scores(ds: "rd.Dataset", text_col: str = "text") -> "rd.Datas
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus boilerplate line removal (C4/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+def _line_hashes(flat: pa.Array) -> np.ndarray:
+    """Deterministic uint64 per line (pandas siphash — fixed key, stable
+    across processes; the same hash the engine's partitioners use)."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(flat.to_numpy(zero_copy_only=False)), index=False
+    ).to_numpy()
+    return h.view(np.int64)  # int64 view: uint64 overflows Arrow/pandas int paths
+
+
+def find_boilerplate_lines(
+    ds: "rd.Dataset",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_chars: int = 1,
+) -> np.ndarray:
+    """Distributed pass 1: uint64 hashes of lines that appear in at
+    least ``min_docs`` DISTINCT documents (navigation chrome, cookie
+    banners, license footers). Each batch emits per-DOC-distinct line
+    hashes with partial counts — the shuffle moves (hash, n) pairs, one
+    per distinct (batch, line), never line text; the returned hot set is
+    bounded by the number of boilerplate lines, not the corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(t[text_col], "\n")
+        flat = pc.list_flatten(lines).combine_chunks()
+        offsets = lines.combine_chunks().offsets.to_numpy()
+        parents = np.repeat(np.arange(len(t)), np.diff(offsets))
+        h = _line_hashes(flat)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = ln >= min_chars
+        # distinct per doc: a line repeated INSIDE one doc counts once
+        pairs = np.unique(np.stack([parents[keep], h[keep]]), axis=1)
+        vals, counts = np.unique(pairs[1], return_counts=True)
+        return pa.table({"h": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+    )
+    hot = agg.filter(expr=f"n >= {min_docs}").to_pandas()
+    return hot["h"].to_numpy(dtype=np.int64)
+
+
+def remove_boilerplate_lines(
+    ds: "rd.Dataset",
+    hot_hashes: np.ndarray,
+    text_col: str = "text",
+    out_col: str | None = None,
+    removed_col: str = "n_lines_removed",
+    concurrency: int | tuple = 4,
+) -> "rd.Dataset":
+    """Distributed pass 2: broadcast the (bounded) hot-line hash set and
+    rewrite each document without its boilerplate lines — split, hash,
+    vectorized isin mask, then an offset-arithmetic Arrow rebuild
+    (`pc.binary_join` over the filtered ListArray; no per-row Python
+    string assembly)."""
+    import ray
+
+    out_col = out_col or text_col
+    hot_ref = ray.put(np.sort(hot_hashes))
+
+    class Strip:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lines = pc.split_pattern(t[text_col], "\n").combine_chunks()
+            flat = pc.list_flatten(lines)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            offsets = lines.offsets.to_numpy()
+            h = _line_hashes(flat)
+            keep = ~np.isin(h, self.hot)  # binary search: hot is sorted
+            kept_flat = flat.filter(pa.array(keep))
+            # prefix-sum segment counts (reduceat mishandles empty docs)
+            csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+            per_doc_kept = csum[offsets[1:]] - csum[offsets[:-1]]
+            new_offsets = np.concatenate([[0], np.cumsum(per_doc_kept)])
+            rebuilt = pa.ListArray.from_arrays(
+                pa.array(new_offsets, type=pa.int32()), kept_flat)
+            joined = pc.binary_join(rebuilt, "\n")
+            removed = np.diff(offsets) - per_doc_kept
+            t = t.drop_columns([text_col]) if out_col == text_col else t
+            t = t.append_column(out_col, joined)
+            return t.append_column(removed_col,
+                                   pa.array(removed.astype(np.int32)))
+
+    return ds.map_batches(
+        Strip, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )

@@ -176,3 +176,47 @@ def test_keys_with_unit_separator_hash_batch_independently():
     alone = nul_safe_key_strings(pa.array([key]))
     with_nul = nul_safe_key_strings(pa.array([key, "evil\x00key"]))
     assert alone[0].as_py() == with_nul[0].as_py()
+
+
+def test_salted_hash_join_matches_plain_on_zipf():
+    """salted_hash_join == hash_join on a Zipf-hot key (inner + left),
+    and a no-hot-keys input takes the plain path unchanged."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.join import hash_join, salted_hash_join
+
+    rng = np.random.default_rng(21)
+    n = 60_000
+    keys = np.minimum(rng.zipf(1.2, n), 50).astype(np.int64)  # key 1 is ~hot
+    left = pd.DataFrame({"k": keys, "v": rng.integers(0, 1000, n)})
+    right = pd.DataFrame({"rk": np.arange(1, 41, dtype=np.int64),
+                          "name": [f"n{i}" for i in range(1, 41)]})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(2)
+
+    for jt in ("inner", "left_outer"):
+        plain = hash_join(lds, rds, on="k", right_on="rk", join_type=jt,
+                          num_partitions=4).to_pandas()
+        salted = salted_hash_join(lds, rds, on="k", right_on="rk",
+                                  join_type=jt, factor=4, threshold=0.02,
+                                  num_partitions=4).to_pandas()
+        cols = sorted(plain.columns)
+        a = plain[cols].sort_values(cols).reset_index(drop=True)
+        b = salted[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # uniform keys → no hot detection → identical to plain
+    uni = pd.DataFrame({"k": rng.integers(0, 40, 5000), "v": np.arange(5000)})
+    uds = rd.from_pandas(uni).repartition(4)
+    plain = hash_join(uds, rds, on="k", right_on="rk",
+                      num_partitions=4).to_pandas()
+    salted = salted_hash_join(uds, rds, on="k", right_on="rk",
+                              threshold=0.5, num_partitions=4).to_pandas()
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        salted[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )

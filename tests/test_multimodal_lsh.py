@@ -379,3 +379,93 @@ def test_cosine_pairs_ivf_full_assign_matches_brute_force():
     pd.testing.assert_frame_equal(
         bf.reset_index(drop=True), ivf.reset_index(drop=True)
     )
+
+
+def test_gif_codec_roundtrips():
+    """GIF encode/decode: single + multi frame, custom palette,
+    interlace, and BOTH LZW paths (real growing-dictionary compressor
+    and the fixed-width clear-per-symbol stream)."""
+    from sous_chef_ray.stages.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    a = rng.integers(0, 16, (19, 27)).astype(np.uint8)
+    b = rng.integers(0, 16, (19, 27)).astype(np.uint8)
+
+    for trivial in (False, True):
+        fr = decode_gif(encode_gif([a, b], palette=pal, trivial_lzw=trivial))
+        assert len(fr) == 2
+        assert (fr[0] == pal[a]).all() and (fr[1] == pal[b]).all()
+
+    inter = decode_gif(encode_gif(a, palette=pal, interlace=True))
+    assert (inter[0] == pal[a]).all()
+
+
+def test_gif_lzw_growing_dictionary_compresses():
+    """The real LZW path must actually compress repetitive data and
+    roundtrip exactly (exercises width bumps and the 4096 clear)."""
+    from sous_chef_ray.stages.gif import _lzw_decode, _lzw_encode_full
+
+    rng = np.random.default_rng(37)
+    repet = np.tile(np.arange(8, dtype=np.uint8), 4000)
+    enc = _lzw_encode_full(repet, 3)
+    assert len(enc) < len(repet) / 4
+    assert (_lzw_decode(enc, 3, len(repet)) == repet).all()
+
+    wide = rng.integers(0, 256, 50_000).astype(np.uint8)
+    enc2 = _lzw_encode_full(wide, 8)
+    assert (_lzw_decode(enc2, 8, len(wide)) == wide).all()
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """A transparent index in frame 2 must show frame 1's pixels."""
+    from sous_chef_ray.stages.gif import decode_gif, encode_gif
+
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250]], dtype=np.uint8)
+    f1 = np.zeros((6, 6), dtype=np.uint8)          # all red
+    f2 = np.full((6, 6), 2, dtype=np.uint8)        # all blue...
+    f2[2:4, 2:4] = 1                               # ...with transparent hole
+    fr = decode_gif(encode_gif([f1, f2], palette=pal, transparent_idx=1))
+    assert (fr[0] == pal[0]).all()
+    assert (fr[1][0, 0] == pal[2]).all()           # opaque blue
+    assert (fr[1][2:4, 2:4] == pal[0]).all()       # hole shows red
+
+
+def test_gif_frame_sampling_stage_real_frames():
+    """sample_gif_frames decodes REAL animated GIFs in an actor pool and
+    emits one row per sampled frame with true pixel stats."""
+    from sous_chef_ray.stages.multimodal import sample_gif_frames, synth_gif_table
+
+    tbl, truth = synth_gif_table(6, return_frames=True)
+    out = (
+        sample_gif_frames(rd.from_arrow(tbl).repartition(2), every_nth=2)
+        .to_pandas().sort_values(["media_id", "frame_index"])
+    )
+    for i in range(6):
+        mid = f"gif_{i:05d}"
+        rows = out[out["media_id"] == mid]
+        want = list(range(0, len(truth[i]), 2))
+        assert rows["frame_index"].tolist() == want
+        for _, r in rows.iterrows():
+            px = truth[i][int(r["frame_index"])].astype(np.float64)
+            assert abs(r["mean_px"] - px.mean()) < 1e-9
+            assert abs(r["std_px"] - px.std()) < 1e-9
+
+
+def test_gif_through_decode_images_stage():
+    """image/gif payloads flow through the generic DecodeImages actor
+    stage (features from the first composited frame)."""
+    from sous_chef_ray.stages.gif import decode_gif
+    from sous_chef_ray.stages.multimodal import decode_images, synth_gif_table
+
+    tbl = synth_gif_table(4)
+    # DecodeImages expects width/height metadata columns
+    first = [decode_gif(p.as_py())[0] for p in tbl["payload"]]
+    tbl = tbl.append_column("width", pa.array([f.shape[1] for f in first], pa.int32()))
+    tbl = tbl.append_column("height", pa.array([f.shape[0] for f in first], pa.int32()))
+    out = decode_images(rd.from_arrow(tbl), fake=False).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    for i in range(4):
+        px = first[i].astype(np.float64)
+        assert abs(out.loc[i, "mean_px"] - px.mean()) < 1e-9
+        assert out.loc[i, "width"] == first[i].shape[1]

@@ -343,3 +343,45 @@ def test_bloom_nul_and_string_keys():
     out = bloom_semi_filter(big, small, "k", num_bits=1 << 12, concurrency=2
                             ).to_pandas()
     assert set(out["k"]) >= {"a", "b\x00c"}
+
+
+def test_boilerplate_line_removal_end_to_end():
+    """Planted boilerplate (a footer in 8/10 docs) is detected by the
+    distributed counter and stripped exactly; unique lines survive;
+    within-doc repeats of a non-boilerplate line do NOT count as
+    multi-doc and are kept."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.text import (
+        find_boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    footer = "(c) example corp - all rights reserved"
+    docs = []
+    for i in range(10):
+        body = [f"unique line {i} alpha", f"unique line {i} beta"]
+        if i < 8:
+            body = [footer] + body + [footer]
+        if i == 9:  # same line repeated within ONE doc only
+            body += ["repeat me", "repeat me", "repeat me"]
+        docs.append("\n".join(body))
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(10)], "text": docs})
+    ds = rd.from_pandas(df).repartition(4)
+
+    hot = find_boilerplate_lines(ds, min_docs=3)
+    out = (
+        remove_boilerplate_lines(ds, hot)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    for i in range(8):
+        txt = out.loc[f"d{i}", "text"]
+        assert footer not in txt
+        assert f"unique line {i} alpha" in txt
+        assert out.loc[f"d{i}", "n_lines_removed"] == 2
+    assert out.loc["d8", "n_lines_removed"] == 0
+    assert out.loc["d9", "text"].count("repeat me") == 3  # in-doc repeat kept
+    # reconstruction is exact for untouched docs
+    assert out.loc["d8", "text"] == docs[8]
