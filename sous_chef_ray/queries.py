@@ -2414,6 +2414,64 @@ def doc_normalize_text(sf_dir: str):
     return normalize_text(docs, "text").select_columns(["doc_id", "norm_text"])
 
 
+_BOILER_SQL = r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS ln, ls[i] AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+       UNNEST(generate_series(1, len(ls))) AS g(i)
+),
+hot AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+),
+flagged AS (
+  SELECT l.doc_id, l.ln, l.line, h.line IS NOT NULL AS is_hot
+  FROM lines l LEFT JOIN hot h ON l.line = h.line
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_hot THEN line END,
+                           chr(10) ORDER BY ln), '') AS text,
+       CAST(count(*) FILTER (WHERE is_hot) AS BIGINT) AS n_lines_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("doc_remove_boilerplate", _BOILER_SQL)
+def doc_remove_boilerplate(sf_dir: str):
+    """Cross-corpus boilerplate-line removal (C4/RefinedWeb-style): the
+    corpus has no newlines, so both sides first line-ify deterministically
+    (newline after every 3rd word via the same RE2 rewrite), then lines
+    appearing in >= 3 DISTINCT docs are detected by the distributed
+    (hash, n) counter and stripped with the broadcast hot-set rebuild
+    (stages/text.find_boilerplate_lines / remove_boilerplate_lines)."""
+    from sous_chef_ray.stages.text import (
+        find_boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lineify(t: pa.Table) -> pa.Table:
+        lined = pc.replace_substring_regex(
+            t["text"], r"(\S+ \S+ \S+) ", "\\1\n")
+        return pa.table({"doc_id": t["doc_id"], "text": lined})
+
+    ds = docs.map_batches(lineify, batch_format="pyarrow", zero_copy_batch=True)
+    hot = find_boilerplate_lines(ds, min_docs=3)
+    out = remove_boilerplate_lines(ds, hot)
+
+    def widen(t: pa.Table) -> pa.Table:  # driver dtype parity vs SQL COUNT
+        i = t.column_names.index("n_lines_removed")
+        return t.set_column(i, "n_lines_removed",
+                            pc.cast(t["n_lines_removed"], pa.int64()))
+
+    return out.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _REDACT_SQL = r"""
 SELECT doc_id,
        regexp_replace(
