@@ -4091,6 +4091,293 @@ def cms_event_type_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast-revenue-change scan (pure filter + aggregate)
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_q6", _Q6_SQL)
+def forecast_revenue_q6(sf_dir: str):
+    """TPC-H Q6: the canonical scan-dominated query — predicate pushed
+    into the parquet read (row groups outside the year/discount/quantity
+    envelope never leave storage), exact-cents revenue summed in one
+    streaming aggregate; no shuffle at all."""
+    import pyarrow.dataset as pads
+
+    f = (
+        (pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+        & (pads.field("l_shipdate") < pd.Timestamp("1997-01-01"))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24)
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=f,
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], t["l_discount"]), 10000.0)), pa.int64())
+        return pa.table({"rev_e4": e4})
+
+    agg = (
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"),
+                   Count(alias_name="n_rows"))
+    )
+    return pd.DataFrame({"revenue_e4": [int(agg["revenue_e4"])],
+                         "n_rows": [int(agg["n_rows"])]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between two nations by year
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol_e4) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS vol_e4
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+  WHERE ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+      OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("volume_shipping_q7", _Q7_SQL)
+def volume_shipping_q7(sf_dir: str):
+    """TPC-H Q7 (region-pair variant — the testdata's 10-supplier
+    nation-pair cell is empty at sf0.001): eight-table join with ONE
+    large-large shuffle. Nation/region/supplier are broadcast dims;
+    customers are pre-filtered to the two regions before the orders hash
+    join; lineitem is date-pruned at the read and joined once; the
+    region-pair disjunction is a vectorized compare after broadcast
+    lookups."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.join import broadcast_join, hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {r["r_name"]: r["r_regionkey"]
+             for r in region.to_pylist()}
+    want = {rkeys["AMERICA"], rkeys["ASIA"]}
+    pair = nation.filter(pc.is_in(nation["n_regionkey"],
+                                  value_set=pa.array(sorted(want))))
+    pair_keys = pair["n_nationkey"].to_pylist()
+    name_of = dict(zip(pair_keys, pair["n_name"].to_pylist()))
+    region_of = dict(zip(pair_keys, pair["n_regionkey"].to_pylist()))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(pair_keys)]
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_f = cust.map_batches(
+        lambda t, ks=pair_keys: t.filter(
+            pc.is_in(t["c_nationkey"], value_set=pa.array(ks))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_c = hash_join(orders, cust_f, on="o_custkey", right_on="c_custkey",
+                    num_partitions=8).select_columns(
+        ["o_orderkey", "c_nationkey"]).materialize()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+                & (pads.field("l_shipdate") < pd.Timestamp("1998-01-01"))),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pc.year(t["l_shipdate"]),
+                         "vol_e4": e4})
+
+    li_p = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li_p, o_c, on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=8)
+    with_supp = broadcast_join(j, supp, on="l_suppkey", right_on="s_suppkey",
+                               concurrency=2)
+
+    def tag(t: pa.Table, nm=name_of, rg=region_of) -> pa.Table:
+        keys = pa.array(list(nm), type=pa.int64())
+        names = pa.array([nm[k] for k in nm])
+        regions = pa.array([rg[k] for k in nm], type=pa.int64())
+        si = pc.index_in(t["s_nationkey"], value_set=keys)
+        ci = pc.index_in(t["c_nationkey"], value_set=keys)
+        # cross-region pairs only (both endpoints are already in the two
+        # wanted regions by the supplier/customer pre-filters)
+        t = t.filter(pc.invert(pc.equal(pc.take(regions, si),
+                                        pc.take(regions, ci))))
+        si = pc.index_in(t["s_nationkey"], value_set=keys)
+        ci = pc.index_in(t["c_nationkey"], value_set=keys)
+        return pa.table({"supp_nation": pc.take(names, si),
+                         "cust_nation": pc.take(names, ci),
+                         "l_year": t["l_year"], "vol_e4": t["vol_e4"]})
+
+    return (
+        with_supp.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("vol_e4", alias_name="revenue_e4"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region for a part type
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_e4 ELSE 0 END)
+            AS BIGINT) AS nation_e4,
+       CAST(SUM(vol_e4) AS BIGINT) AS total_e4,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_e4 ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(vol_e4) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         n1.n_name AS supp_nation,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS vol_e4
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+) GROUP BY o_year
+"""
+
+
+@register("national_market_share_q8", _Q8_SQL)
+def national_market_share_q8(sf_dir: str):
+    """TPC-H Q8: eight-table star with one large-large shuffle. part is
+    reduced to a broadcast key set (semi filter inside the lineitem
+    read path), supplier/nation/region are broadcast maps, customers are
+    region-filtered before the orders join, and the market-share ratio
+    divides the SAME exact-cents integers on both sides so the doubles
+    are bit-identical."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.join import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], "AMERICA"))["r_regionkey"][0].as_py()
+    region_nations = nation.filter(pc.equal(nation["n_regionkey"], rkey))
+    rn_keys = region_nations["n_nationkey"].to_pylist()
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    s_keys = pa.array(supp["s_suppkey"].to_pylist(), type=pa.int64())
+    nm = dict(zip(nation["n_nationkey"].to_pylist(),
+                  nation["n_name"].to_pylist()))
+    s_names = pa.array([nm[k] for k in supp["s_nationkey"].to_pylist()])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkeys = part.filter(pc.equal(part["p_type"], "STANDARD"))["p_partkey"]
+    pkeys = pa.array(pkeys.to_pylist(), type=pa.int64())
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_f = cust.map_batches(
+        lambda t, ks=rn_keys: t.filter(
+            pc.is_in(t["c_nationkey"], value_set=pa.array(ks))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+                & (pads.field("o_orderdate") < pd.Timestamp("1998-01-01"))),
+    )
+    o_c = hash_join(orders, cust_f, on="o_custkey", right_on="c_custkey",
+                    num_partitions=8)
+    o_c = o_c.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_year": pc.year(t["o_orderdate"])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table, pk=pkeys, sk=s_keys, sn=s_names) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=pk))
+        e4 = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)), pa.int64())
+        supp_nation = pc.take(sn, pc.index_in(t["l_suppkey"], value_set=sk))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "supp_nation": supp_nation, "vol_e4": e4})
+
+    li_p = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li_p, o_c, on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=8)
+
+    def split(t: pa.Table) -> pa.Table:
+        hit = pc.equal(t["supp_nation"], "NATION_1")
+        nat = pc.if_else(hit, t["vol_e4"], pa.scalar(0, pa.int64()))
+        return pa.table({"o_year": t["o_year"], "nation_e4": nat,
+                         "total_e4": t["vol_e4"]})
+
+    agg = (
+        j.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(Sum("nation_e4", alias_name="nation_e4"),
+                   Sum("total_e4", alias_name="total_e4"))
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "mkt_share",
+            pc.divide(pc.cast(t["nation_e4"], pa.float64()),
+                      pc.cast(t["total_e4"], pa.float64())))
+
+    return agg.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the driver's correctness gate checks the FIRST ~50
 # registered queries, so every exact-oracle §2.F / north-rule operator must
 # land inside that window; redundant SQL-surface variants and rows-only
