@@ -4091,6 +4091,54 @@ def cms_event_type_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Train-test decontamination: drop docs sharing a word-4-gram with the
+# benchmark slice (doc_id % 29 == 0 stands in for the held-out benchmark)
+# ---------------------------------------------------------------------------
+
+_DECON_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+bad AS (SELECT DISTINCT doc_id FROM g
+        WHERE doc_id % 29 <> 0 AND gram IN (SELECT gram FROM bench))
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id % 29 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@register("decontaminate_docs", _DECON_SQL)
+def decontaminate_docs(sf_dir: str):
+    """Train-test decontamination (stages/text.decontaminate): the
+    benchmark slice's distinct word-4-gram hashes are collected
+    distributed (8-byte hashes move, never text), broadcast once, and
+    every training doc with ANY overlapping 4-gram is dropped — the
+    standard leakage guard an LLM data pipeline runs before training."""
+    from sous_chef_ray.stages.text import collect_benchmark_ngrams, decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def slice_of(bench_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            is_bench = pc.equal(
+                pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], 29), 29)), 0)
+            return t.filter(is_bench if bench_side else pc.invert(is_bench))
+        return fn
+
+    bench = docs.map_batches(slice_of(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    corpus = docs.map_batches(slice_of(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    grams = collect_benchmark_ngrams(bench, n=4)
+    kept = decontaminate(corpus, grams, n=4)
+    return kept.select_columns(["doc_id", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q6 shape: forecast-revenue-change scan (pure filter + aggregate)
 # ---------------------------------------------------------------------------
 

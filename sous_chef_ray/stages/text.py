@@ -450,3 +450,104 @@ def remove_boilerplate_lines(
         Strip, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=pool(concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train-test decontamination (word-n-gram overlap vs a benchmark set)
+# ---------------------------------------------------------------------------
+
+def _gram_pows(n: int) -> np.ndarray:
+    """Wraparound powers of an odd 64-bit multiplier (position mixing for
+    the polynomial n-gram combine)."""
+    mult, mask = 0x9E3779B97F4A7C15, (1 << 64) - 1
+    acc, pows = 1, []
+    for _ in range(n):
+        pows.append(acc)
+        acc = (acc * mult) & mask
+    return np.array(pows, dtype=np.uint64)
+
+
+def _word_gram_hashes(words: pa.Array, n: int):
+    """Per-position word-n-gram hashes for a batch of tokenized docs.
+
+    Returns ``(gram, parent)``: uint64 polynomial hashes of every n-gram
+    that lies entirely inside one document, and the doc row index each
+    gram belongs to. Fully vectorized: one siphash pass over the flat
+    word array, then a sliding-window mat-vec in wraparound uint64 —
+    no per-row Python."""
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offsets = words.offsets.to_numpy()
+    h = _line_hashes(flat).view(np.uint64)
+    L = len(h)
+    if L < n:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    parents = np.repeat(np.arange(len(words), dtype=np.int64),
+                        np.diff(offsets))
+    win = np.lib.stride_tricks.sliding_window_view(h, n)
+    gram = (win * _gram_pows(n)).sum(axis=1, dtype=np.uint64)
+    start_p = parents[: L - n + 1]
+    valid = start_p == parents[n - 1:]
+    return gram[valid], start_p[valid]
+
+
+def collect_benchmark_ngrams(
+    bench: "rd.Dataset", text_col: str = "text", n: int = 4,
+    split_pattern: str = " ",
+) -> np.ndarray:
+    """Distinct word-n-gram hashes of a (small) benchmark set. Each batch
+    emits its local distinct hashes; the cross-batch distinct runs as a
+    Ray aggregate — only 8-byte hashes move, bounded by the benchmark's
+    gram count, never the corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[text_col], split_pattern)
+        gram, _ = _word_gram_hashes(words, n)
+        return pa.table({"g": np.unique(gram).view(np.int64)})
+
+    vals = (
+        bench.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .unique("g")
+    )
+    return np.sort(np.asarray(vals, dtype=np.int64)).view(np.uint64)
+
+
+def decontaminate(
+    corpus: "rd.Dataset",
+    bench_grams: np.ndarray,
+    text_col: str = "text",
+    n: int = 4,
+    split_pattern: str = " ",
+    flag_col: str | None = None,
+    concurrency: int | tuple = 4,
+) -> "rd.Dataset":
+    """Drop (or flag, with ``flag_col``) every corpus document sharing at
+    least one word-n-gram with the benchmark — the standard train-test
+    decontamination pass. The benchmark gram set is broadcast once via
+    ray.put and binary-searched per batch (sorted isin); a doc is
+    contaminated if ANY of its grams hits."""
+    import ray
+
+    hot_ref = ray.put(np.sort(bench_grams.view(np.int64)))
+
+    class Decon:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words = pc.split_pattern(t[text_col], split_pattern)
+            gram, parent = _word_gram_hashes(words, n)
+            hit = np.isin(gram.view(np.int64), self.hot)
+            bad = np.zeros(len(t), dtype=bool)
+            bad[parent[hit]] = True
+            if flag_col is not None:
+                return t.append_column(flag_col, pa.array(bad))
+            return t.filter(pa.array(~bad))
+
+    return corpus.map_batches(
+        Decon, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )

@@ -385,3 +385,35 @@ def test_boilerplate_line_removal_end_to_end():
     assert out.loc["d9", "text"].count("repeat me") == 3  # in-doc repeat kept
     # reconstruction is exact for untouched docs
     assert out.loc["d8", "text"] == docs[8]
+
+
+def test_decontaminate_planted_ngram_overlap():
+    """A corpus doc sharing a word-4-gram with the benchmark is dropped;
+    a doc sharing only a 3-gram survives; flag mode keeps all rows and
+    marks the contaminated one."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.text import collect_benchmark_ngrams, decontaminate
+
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0],
+        "text": ["the capital of france is paris obviously"],
+    }))
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "quiz answer capital of france is paris end",   # shares 4-gram
+            "capital of france borders spain",               # only 3-gram
+            "completely unrelated text here",
+        ],
+    })).repartition(2)
+
+    grams = collect_benchmark_ngrams(bench, n=4)
+    kept = decontaminate(corpus, grams, n=4).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3]
+
+    flagged = decontaminate(corpus, grams, n=4, flag_col="contaminated"
+                            ).to_pandas().set_index("doc_id")
+    assert len(flagged) == 3
+    assert flagged.loc[1, "contaminated"] and not flagged.loc[2, "contaminated"]
