@@ -4139,6 +4139,137 @@ def decontaminate_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus preparation: the full LLM-training-data cleaning chain
+# as ONE streaming pipeline with ONE exact SQL oracle
+# ---------------------------------------------------------------------------
+
+_PREP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+grams AS (
+  SELECT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+  FROM words, UNNEST(generate_series(1, len(ws) - 3)) AS g(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0),
+train AS (
+  SELECT doc_id, t FROM norm
+  WHERE doc_id % 29 <> 0
+    AND length(regexp_split_to_array(t, '\s+')) >= 30
+),
+bad AS (SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id % 29 <> 0 AND gram IN (SELECT gram FROM bench)),
+decon AS (SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+lined AS (
+  SELECT doc_id,
+         regexp_replace(t, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+  FROM decon
+),
+lines AS (
+  SELECT doc_id, i AS ln, ls[i] AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+       UNNEST(generate_series(1, len(ls))) AS g(i)
+),
+hot AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+flagged AS (
+  SELECT l.doc_id, l.ln, l.line, h.line IS NOT NULL AS is_hot
+  FROM lines l LEFT JOIN hot h ON l.line = h.line
+),
+stripped AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN NOT is_hot THEN line END,
+                             chr(10) ORDER BY ln), '') AS t,
+         CAST(count(*) FILTER (WHERE is_hot) AS BIGINT) AS n_lines_removed
+  FROM flagged GROUP BY doc_id
+),
+dedup AS (
+  SELECT doc_id, t, n_lines_removed,
+         row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM stripped
+)
+SELECT doc_id, t AS text, n_lines_removed,
+       CASE WHEN t = '' THEN 0
+            ELSE CAST(length(regexp_split_to_array(t, '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM dedup WHERE rn = 1
+"""
+
+
+@register("prepare_corpus", _PREP_SQL)
+def prepare_corpus(sf_dir: str):
+    """The full training-corpus cleaning chain as one streaming Ray
+    pipeline: normalize -> quality-filter (>= 30 words) -> train-test
+    decontamination (word-4-gram overlap vs the doc_id%29 benchmark
+    slice) -> cross-corpus boilerplate-line removal -> exact content
+    dedup (min doc_id per md5) -> token count. Every pass is the
+    production stage (stages/text.py, stages/dedup.py); the shuffles
+    move 8-16-byte hashes, never documents; the whole chain is verified
+    value-exact against ONE composed DuckDB oracle."""
+    from sous_chef_ray.stages.dedup import exact_dedup
+    from sous_chef_ray.stages.text import (
+        add_md5_fingerprint,
+        collect_benchmark_ngrams,
+        decontaminate,
+        find_boilerplate_lines,
+        normalize_text,
+        remove_boilerplate_lines,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    norm = normalize_text(docs, "text").select_columns(["doc_id", "norm_text"])
+
+    def is_bench_mask(t: pa.Table):
+        return pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 29), 29)), 0)
+
+    bench = norm.map_batches(
+        lambda t: t.filter(is_bench_mask(t)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    grams = collect_benchmark_ngrams(bench, text_col="norm_text", n=4)
+
+    def to_train(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(is_bench_mask(t)))
+        trimmed = pc.utf8_trim_whitespace(t["norm_text"])
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        t = t.filter(pc.greater_equal(n, 30))
+        return pa.table({"doc_id": t["doc_id"], "text": t["norm_text"]})
+
+    train = norm.map_batches(to_train, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    decon = decontaminate(train, grams, text_col="text", n=4)
+
+    def lineify(t: pa.Table) -> pa.Table:
+        lined = pc.replace_substring_regex(
+            t["text"], r"(\S+ \S+ \S+) ", "\\1\n")
+        return pa.table({"doc_id": t["doc_id"], "text": lined})
+
+    lined = decon.map_batches(lineify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    hot = find_boilerplate_lines(lined, min_docs=3)
+    stripped = remove_boilerplate_lines(lined, hot)
+
+    deduped = exact_dedup(
+        add_md5_fingerprint(stripped, "text"), "fingerprint", keep_by="doc_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(pc.equal(t["text"], ""), pa.scalar(0, pa.int32()), n)
+        return pa.table({
+            "doc_id": t["doc_id"], "text": t["text"],
+            "n_lines_removed": pc.cast(t["n_lines_removed"], pa.int64()),
+            "n_tokens": pc.cast(n, pa.int64()),
+        })
+
+    return deduped.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q6 shape: forecast-revenue-change scan (pure filter + aggregate)
 # ---------------------------------------------------------------------------
 
