@@ -4571,6 +4571,7 @@ _WINDOW_PRIORITY = [
     "doc_repetition_scores", "doc_quality_scores", "doc_fingerprints",
     "exact_dedup_docs", "knn_cosine_top5", "embedding_nearest_neighbor",
     "embedding_neardup_pairs", "embedding_neardup_pairs_lsh",
+    "prepare_corpus", "decontaminate_docs", "doc_remove_boilerplate",
     # north-rule operators
     "asof_last_purchase", "asof_last_purchase_partitioned",
     "latest_event_per_user", "sessionize_events", "backfill_daily_purchase",
@@ -4587,10 +4588,9 @@ _WINDOW_PRIORITY = [
     "shipping_priority_q3",
     # aggregates / SQL surface (one representative per family)
     "pricing_summary", "big_spenders_by_nation", "weekly_event_rollup",
-    "lineitem_rollup", "frequent_customers", "event_type_pivot",
-    "value_moments_per_type", "median_quantity_per_flag", "quantity_extremes",
+    "frequent_customers", "event_type_pivot",
+    "value_moments_per_type", "median_quantity_per_flag",
     "distinct_event_types_per_user", "lineitem_profile",
-    "error_events_per_user",
 ]
 
 
