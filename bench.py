@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "clicks_in_purchase_window",  # interval join (round 2)
     "event_type_pivot",           # conditional-agg pivot (round 2)
     "streaming_tumbling_by_user",  # shard-fed watermark windows (round 3)
+    "prepare_corpus",             # end-to-end corpus-prep chain (round 3)
 ]
 
 

@@ -4139,6 +4139,38 @@ def decontaminate_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Training-mix assembly: per-source sampling fraction + epoch repetition
+# ---------------------------------------------------------------------------
+
+_MIX_THR = ["20", "55", "aa", "ff"]
+_MIX_ROWS = ",\n  ".join(
+    f"('src{k}', '{_MIX_THR[k % 4]}', {k % 3 + 1})" for k in range(20))
+_MIX_SQL = f"""
+WITH cfg(source, thr, reps) AS (VALUES
+  {_MIX_ROWS})
+SELECT d.doc_id, d.source, CAST(e.epoch AS BIGINT) AS epoch
+FROM documents d
+JOIN cfg ON d.source = cfg.source,
+     UNNEST(generate_series(1, cfg.reps)) AS e(epoch)
+WHERE md5(d.text) < cfg.thr
+"""
+
+
+@register("source_mix_sample", _MIX_SQL)
+def source_mix_sample(sf_dir: str):
+    """Data-recipe assembly (stages/dedup.mix_sources): each source gets
+    a deterministic md5-threshold sampling fraction and an integer epoch
+    repetition count (the "Wikipedia x3, CommonCrawl 20%" mix). One
+    map_batches pass, no shuffle, no RNG state."""
+    from sous_chef_ray.stages.dedup import mix_sources
+
+    plan = {f"src{k}": (_MIX_THR[k % 4], k % 3 + 1) for k in range(20)}
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return mix_sources(docs, "source", "text", plan).select_columns(
+        ["doc_id", "source", "epoch"])
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus preparation: the full LLM-training-data cleaning chain
 # as ONE streaming pipeline with ONE exact SQL oracle
 # ---------------------------------------------------------------------------

@@ -112,3 +112,46 @@ def hash_split(
         return df
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def mix_sources(
+    ds: "rd.Dataset",
+    strata_col: str,
+    content_col: str,
+    plan: dict,
+    epoch_col: str = "epoch",
+    default=("ff", 1),
+) -> "rd.Dataset":
+    """Training-mix assembly: per-stratum deterministic downsampling plus
+    integer epoch repetition (the "Wikipedia x3, CommonCrawl 20%" data
+    recipe). ``plan`` maps stratum -> (md5_hex_threshold, repeats): a row
+    survives iff md5(content) < threshold (stateless, partitioning- and
+    RNG-independent, like the md5-threshold sampler), then is emitted
+    ``repeats`` times with a 1-based ``epoch_col``. One map_batches pass,
+    no shuffle; the expansion is offset-arithmetic row take, no Python
+    loop over rows (md5 itself is per-row, as in add_md5_fingerprint)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[content_col].to_pylist()
+        md5s = np.array([hashlib.md5(v.encode("utf-8")).hexdigest()
+                         if v is not None else "" for v in texts])
+        strata = t[strata_col].to_pylist()
+        thr = np.array([plan.get(s, default)[0] for s in strata])
+        reps = np.array([plan.get(s, default)[1] for s in strata],
+                        dtype=np.int64)
+        keep = md5s < thr
+        t2 = t.filter(pa.array(keep))
+        reps = reps[keep]
+        if len(reps) == 0:
+            return t2.append_column(epoch_col,
+                                    pa.array([], type=pa.int64()))
+        idx = np.repeat(np.arange(len(reps)), reps)
+        starts = np.cumsum(reps) - reps
+        epoch = np.arange(len(idx)) - np.repeat(starts, reps) + 1
+        return t2.take(pa.array(idx)).append_column(
+            epoch_col, pa.array(epoch, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -417,3 +417,40 @@ def test_decontaminate_planted_ngram_overlap():
                             ).to_pandas().set_index("doc_id")
     assert len(flagged) == 3
     assert flagged.loc[1, "contaminated"] and not flagged.loc[2, "contaminated"]
+
+
+def test_mix_sources_fraction_and_epochs():
+    """Per-source md5-threshold fraction + epoch repetition: a 'ff'
+    threshold keeps ~all rows, '00' drops everything; repeats emit
+    1..r epochs per surviving row; unknown sources take the default."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.dedup import mix_sources
+
+    df = pd.DataFrame({
+        "doc_id": range(200),
+        "source": ["a", "b", "c", "d"] * 50,
+        "text": [f"doc number {i} text" for i in range(200)],
+    })
+    plan = {"a": ("ff", 3), "b": ("00", 1), "c": ("80", 2)}
+    out = mix_sources(rd.from_pandas(df).repartition(4), "source", "text",
+                      plan, default=("ff", 1)).to_pandas()
+
+    assert (out[out["source"] == "a"].groupby("doc_id")["epoch"].apply(
+        lambda s: sorted(s) == [1, 2, 3])).all()
+    assert (out["source"] == "b").sum() == 0
+    c_rows = out[out["source"] == "c"]
+    c_src = df[df["source"] == "c"]
+    want_c = {i for i, t in zip(c_src["doc_id"], c_src["text"])
+              if hashlib.md5(t.encode()).hexdigest() < "80"}
+    assert set(c_rows["doc_id"]) == want_c
+    assert (c_rows.groupby("doc_id")["epoch"].apply(
+        lambda s: sorted(s) == [1, 2])).all()
+    d_src = df[df["source"] == "d"]
+    want_d = {i for i, t in zip(d_src["doc_id"], d_src["text"])
+              if hashlib.md5(t.encode()).hexdigest() < "ff"}
+    d_rows = out[out["source"] == "d"]
+    assert set(d_rows["doc_id"]) == want_d and (d_rows["epoch"] == 1).all()
