@@ -33,6 +33,7 @@ def latest_per_key(
     keys: List[str] | str,
     order_by: str,
     tie_by: Optional[str] = None,
+    num_buckets: int = 64,
 ) -> "rd.Dataset":
     keys = [keys] if isinstance(keys, str) else list(keys)
     order = [order_by] + ([tie_by] if tie_by else [])
@@ -43,6 +44,16 @@ def latest_per_key(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return _last_per_group(g, keys, order)
 
+    if len(keys) == 1:
+        # one vectorized sort+drop_duplicates per BUCKET (thousands of
+        # keys), not one Python call per group — measured ~2x on the
+        # same shuffle (see stages/partition.py)
+        from sous_chef_ray.stages.partition import partition_apply
+
+        return partition_apply(
+            ds.map_batches(partial, batch_format="pandas"),
+            keys[0], final, num_buckets=num_buckets,
+        )
     return (
         ds.map_batches(partial, batch_format="pandas")
         .groupby(keys)
@@ -59,6 +70,7 @@ def exact_dedup(
     ds: "rd.Dataset",
     content_cols: List[str] | str,
     keep_by: str,
+    num_buckets: int = 64,
 ) -> "rd.Dataset":
     """Keep the row with the smallest ``keep_by`` per distinct content."""
     content_cols = (
@@ -71,6 +83,15 @@ def exact_dedup(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return _first_per_group(g, content_cols, [keep_by])
 
+    if len(content_cols) == 1:
+        # bucketed reduce: one vectorized pass per bucket instead of one
+        # Python map_groups call per distinct content value
+        from sous_chef_ray.stages.partition import partition_apply
+
+        return partition_apply(
+            ds.map_batches(partial, batch_format="pandas"),
+            content_cols[0], final, num_buckets=num_buckets,
+        )
     return (
         ds.map_batches(partial, batch_format="pandas")
         .groupby(content_cols)
