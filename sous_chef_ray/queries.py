@@ -2460,7 +2460,10 @@ def doc_remove_boilerplate(sf_dir: str):
             t["text"], r"(\S+ \S+ \S+) ", "\\1\n")
         return pa.table({"doc_id": t["doc_id"], "text": lined})
 
-    ds = docs.map_batches(lineify, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: BOTH passes (hot-line count, strip) consume this —
+    # without it the lazy chain re-reads + re-lineifies the corpus
+    ds = docs.map_batches(lineify, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
     hot = find_boilerplate_lines(ds, min_docs=3)
     out = remove_boilerplate_lines(ds, hot)
 
@@ -4279,8 +4282,12 @@ def prepare_corpus(sf_dir: str):
             t["text"], r"(\S+ \S+ \S+) ", "\\1\n")
         return pa.table({"doc_id": t["doc_id"], "text": lined})
 
+    # materialize the cleaned training set ONCE: the hot-line counting
+    # pass and the strip pass both consume it, and without a pin the
+    # lazy chain re-runs normalize->quality->decontaminate per consumer
+    # (blocks spill to the object store at scale rather than recompute)
     lined = decon.map_batches(lineify, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
     hot = find_boilerplate_lines(lined, min_docs=3)
     stripped = remove_boilerplate_lines(lined, hot)
 

@@ -420,36 +420,34 @@ def remove_boilerplate_lines(
     out_col = out_col or text_col
     hot_ref = ray.put(np.sort(hot_hashes))
 
-    class Strip:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)
+    # plain task fn, not an actor pool: the only "state" is the broadcast
+    # hot set, and ray.get of a plasma ref inside a task is a zero-copy
+    # view — no actor startup cost per stage execution
+    def strip(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        lines = pc.split_pattern(t[text_col], "\n").combine_chunks()
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offsets = lines.offsets.to_numpy()
+        h = _line_hashes(flat)
+        keep = ~np.isin(h, hot)  # binary search: hot is sorted
+        kept_flat = flat.filter(pa.array(keep))
+        # prefix-sum segment counts (reduceat mishandles empty docs)
+        csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        per_doc_kept = csum[offsets[1:]] - csum[offsets[:-1]]
+        new_offsets = np.concatenate([[0], np.cumsum(per_doc_kept)])
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int32()), kept_flat)
+        joined = pc.binary_join(rebuilt, "\n")
+        removed = np.diff(offsets) - per_doc_kept
+        t = t.drop_columns([text_col]) if out_col == text_col else t
+        t = t.append_column(out_col, joined)
+        return t.append_column(removed_col,
+                               pa.array(removed.astype(np.int32)))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lines = pc.split_pattern(t[text_col], "\n").combine_chunks()
-            flat = pc.list_flatten(lines)
-            if isinstance(flat, pa.ChunkedArray):
-                flat = flat.combine_chunks()
-            offsets = lines.offsets.to_numpy()
-            h = _line_hashes(flat)
-            keep = ~np.isin(h, self.hot)  # binary search: hot is sorted
-            kept_flat = flat.filter(pa.array(keep))
-            # prefix-sum segment counts (reduceat mishandles empty docs)
-            csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
-            per_doc_kept = csum[offsets[1:]] - csum[offsets[:-1]]
-            new_offsets = np.concatenate([[0], np.cumsum(per_doc_kept)])
-            rebuilt = pa.ListArray.from_arrays(
-                pa.array(new_offsets, type=pa.int32()), kept_flat)
-            joined = pc.binary_join(rebuilt, "\n")
-            removed = np.diff(offsets) - per_doc_kept
-            t = t.drop_columns([text_col]) if out_col == text_col else t
-            t = t.append_column(out_col, joined)
-            return t.append_column(removed_col,
-                                   pa.array(removed.astype(np.int32)))
-
-    return ds.map_batches(
-        Strip, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=pool(concurrency),
-    )
+    return ds.map_batches(strip, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -533,21 +531,18 @@ def decontaminate(
 
     hot_ref = ray.put(np.sort(bench_grams.view(np.int64)))
 
-    class Decon:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)
+    # plain task fn (no actor pool): the broadcast gram set is fetched
+    # zero-copy from plasma per task — no per-stage actor startup
+    def decon(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        words = pc.split_pattern(t[text_col], split_pattern)
+        gram, parent = _word_gram_hashes(words, n)
+        hit = np.isin(gram.view(np.int64), hot)
+        bad = np.zeros(len(t), dtype=bool)
+        bad[parent[hit]] = True
+        if flag_col is not None:
+            return t.append_column(flag_col, pa.array(bad))
+        return t.filter(pa.array(~bad))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            words = pc.split_pattern(t[text_col], split_pattern)
-            gram, parent = _word_gram_hashes(words, n)
-            hit = np.isin(gram.view(np.int64), self.hot)
-            bad = np.zeros(len(t), dtype=bool)
-            bad[parent[hit]] = True
-            if flag_col is not None:
-                return t.append_column(flag_col, pa.array(bad))
-            return t.filter(pa.array(~bad))
-
-    return corpus.map_batches(
-        Decon, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=pool(concurrency),
-    )
+    return corpus.map_batches(decon, batch_format="pyarrow",
+                              zero_copy_batch=True)
