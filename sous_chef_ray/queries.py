@@ -2893,6 +2893,25 @@ def knn_ivf_top5(sf_dir: str):
     return out[["qid", "neighbor_id", "cosine_sim"]]
 
 
+@register("embedding_kmeans_clusters")  # iterative fit → rows-only
+def embedding_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table: coarse
+    init on a bounded sample, then full-corpus refinement where each
+    iteration is ONE streaming pass whose (cid, dim, sum, count)
+    partials reduce in-cluster (the driver only sees the k x d table);
+    final assignment is a broadcast-centroid matmul pass."""
+    from sous_chef_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit_distributed,
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit_distributed(emb, emb_col="embedding",
+                                     n_centroids=8, iters=8)
+    out = kmeans_assign(emb, cent).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 @register("multimodal_decode")  # binary decode → rows-only
 def multimodal_decode(sf_dir: str):
     """Binary media column → per-image feature rows via the actor-pool

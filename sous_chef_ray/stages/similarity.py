@@ -624,3 +624,113 @@ def cosine_pairs_ivf(
         round_dp=round_dp, num_partitions=num_partitions,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means: coarse init on a bounded sample, then
+# full-corpus refinement where each iteration is ONE streaming pass
+# ---------------------------------------------------------------------------
+
+def kmeans_fit_distributed(
+    corpus: "rd.Dataset",
+    *,
+    emb_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 10,
+    sample_rows: int = 20000,
+    seed: int = 13,
+    tol: float = 1e-6,
+    spherical: bool = True,
+):
+    """Fit k-means over the WHOLE corpus, not just a sample: initialize
+    with the driver-sample quantizer (`_kmeans`), then run Lloyd
+    iterations where each step is one map_batches pass emitting per-batch
+    partial (cid, dim, sum, count) rows — (k x d) floats per block — that
+    reduce IN-CLUSTER via groupby().Sum. The driver only ever sees the
+    k x d aggregated table, so the fit streams at any corpus size; the
+    corpus is materialized once and re-read per iteration from the object
+    store. Returns (centroids ndarray, n_iters_run)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    sample_tbl = pa.concat_tables(
+        corpus.limit(sample_rows).iter_batches(batch_size=None,
+                                               batch_format="pyarrow")
+    )
+    cent = _kmeans(_emb_matrix(sample_tbl, emb_col), n_centroids, seed=seed)
+    corpus = corpus.materialize()
+    k, d = cent.shape
+
+    it = 0
+    for it in range(1, iters + 1):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            x = _emb_matrix(t, emb_col)
+            if spherical:
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                                   1e-12)
+                assign = np.argmax(x @ c.T, axis=1)
+            else:
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            cid = np.repeat(np.arange(k, dtype=np.int64), d)
+            dim = np.tile(np.arange(d, dtype=np.int64), k)
+            return pa.table({
+                "cid": cid, "dim": dim, "s": sums.reshape(-1),
+                "n": np.repeat(counts, d),
+            })
+
+        agg = (
+            corpus.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["cid", "dim"])
+            .aggregate(_Sum("s", alias_name="s"), _Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        agg = agg.sort_values(["cid", "dim"])
+        sums = agg["s"].to_numpy().reshape(k, d)
+        counts = agg["n"].to_numpy().reshape(k, d)[:, 0]
+        new_cent = cent.copy()
+        nz = counts > 0
+        new_cent[nz] = sums[nz] / counts[nz, None]
+        if spherical:
+            norms = np.maximum(
+                np.linalg.norm(new_cent, axis=1, keepdims=True), 1e-12)
+            new_cent = new_cent / norms
+        shift = float(np.abs(new_cent - cent).max())
+        cent = new_cent
+        if shift < tol:
+            break
+    return cent, it
+
+
+def kmeans_assign(
+    corpus: "rd.Dataset",
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cluster_col: str = "cluster",
+    spherical: bool = True,
+) -> "rd.Dataset":
+    """One streaming pass assigning every vector to its nearest centroid
+    (broadcast (k x d) matrix, vectorized matmul per batch)."""
+    cent_ref = ray.put(centroids)
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _emb_matrix(t, emb_col)
+        if spherical:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(x @ c.T, axis=1)
+        else:
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+        return pa.table({id_col: t[id_col],
+                         cluster_col: pa.array(assign, type=pa.int64())})
+
+    return corpus.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

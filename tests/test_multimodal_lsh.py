@@ -469,3 +469,45 @@ def test_gif_through_decode_images_stage():
         px = first[i].astype(np.float64)
         assert abs(out.loc[i, "mean_px"] - px.mean()) < 1e-9
         assert out.loc[i, "width"] == first[i].shape[1]
+
+
+def test_kmeans_distributed_recovers_blobs_and_is_partition_invariant():
+    """Distributed Lloyd refinement recovers 3 well-separated blobs
+    exactly (up to label permutation) and the assignment is invariant to
+    input partitioning."""
+    from sous_chef_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(3, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X, truth = [], []
+    for c in range(3):
+        pts = centers[c] + 0.05 * rng.normal(size=(200, 8))
+        X.append(pts)
+        truth += [c] * 200
+    X = np.concatenate(X)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(X)), type=pa.int64()),
+        "embedding": pa.array(list(X), type=pa.list_(pa.float32())),
+    })
+
+    outs = []
+    for parts in (1, 8):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        cent, n_it = kmeans_fit_distributed(
+            ds, emb_col="embedding", n_centroids=3, iters=10,
+            sample_rows=50)
+        assert cent.shape == (3, 8) and n_it >= 1
+        out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+        outs.append(out["cluster"].to_numpy())
+
+    for got in outs:
+        # perfect blob separation up to label permutation
+        for c in range(3):
+            blob = got[np.array(truth) == c]
+            assert (blob == blob[0]).all()
+        assert len(set(got[::200])) == 3
+    assert (outs[0] == outs[1]).all()
