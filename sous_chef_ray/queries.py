@@ -4161,6 +4161,72 @@ def decontaminate_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# RATIO_TO_REPORT window: share of yearly revenue per nation
+# ---------------------------------------------------------------------------
+
+_SHARE_SQL = """
+WITH a AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year, n.n_name,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT o_year, n_name, rev_c,
+       CAST(rev_c AS DOUBLE)
+         / CAST(CAST(SUM(rev_c) OVER (PARTITION BY o_year) AS BIGINT)
+                AS DOUBLE) AS share
+FROM a
+"""
+
+
+@register("nation_revenue_share", _SHARE_SQL)
+def nation_revenue_share(sf_dir: str):
+    """RATIO_TO_REPORT window shape: exact-cents revenue per (year,
+    nation) via a distributed hash aggregate (customer nation rides a
+    broadcast map), then the share-of-year window as a partition_apply
+    over o_year — the same integers divide on both sides, so the doubles
+    are bit-identical."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.partition import partition_apply
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nm = dict(zip(nation["n_nationkey"].to_pylist(),
+                  nation["n_name"].to_pylist()))
+    ckeys = pa.array(cust["c_custkey"].to_pylist(), type=pa.int64())
+    cnames = pa.array([nm[k] for k in cust["c_nationkey"].to_pylist()])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table, ck=ckeys, cn=cnames) -> pa.Table:
+        name = pc.take(cn, pc.index_in(t["o_custkey"], value_set=ck))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"o_year": pc.year(t["o_orderdate"]),
+                         "n_name": name, "rev_c": cents})
+
+    agg = (
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_year", "n_name"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        tot = df.groupby("o_year")["rev_c"].transform("sum")
+        df["share"] = df["rev_c"].astype(float) / tot.astype(float)
+        return df
+
+    return partition_apply(agg, "o_year", share, num_buckets=8)
+
+
+# ---------------------------------------------------------------------------
 # Training-mix assembly: per-source sampling fraction + epoch repetition
 # ---------------------------------------------------------------------------
 
