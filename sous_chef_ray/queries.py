@@ -4227,6 +4227,61 @@ def nation_revenue_share(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Robust (median/MAD) per-source outlier detection — integer-exact
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT source,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, ABS(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m ON d.source = m.source
+),
+mad AS (
+  SELECT source,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+              AS BIGINT) AS mad
+  FROM dev GROUP BY source
+)
+SELECT v.doc_id, v.source, v.n_chars
+FROM dev v JOIN mad m ON v.source = m.source
+WHERE v.adev > 3 * m.mad
+"""
+
+
+@register("doc_length_outliers", _MAD_SQL)
+def doc_length_outliers(sf_dir: str):
+    """Robust per-source outlier detection (median/MAD z-score on doc
+    length): all three steps are per-source, so ONE partition_apply
+    bucket pass computes the lower-median, absolute deviations, MAD and
+    the 3-MAD filter per stratum — pure int64 comparisons end to end
+    (no float drift vs the SQL oracle)."""
+    from sous_chef_ray.stages.partition import partition_apply
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def disc_median(v: np.ndarray) -> int:
+            v = np.sort(v)
+            return int(v[max(int(np.ceil(0.5 * len(v))) - 1, 0)])
+
+        outs = []
+        for src, g in df.groupby("source", sort=False):
+            n = g["n_chars"].to_numpy()
+            adev = np.abs(n - disc_median(n))
+            keep = adev > 3 * disc_median(adev)
+            outs.append(g.loc[keep, ["doc_id", "source", "n_chars"]])
+        return (pd.concat(outs) if outs
+                else df[["doc_id", "source", "n_chars"]].iloc[:0])
+
+    return partition_apply(docs, "source", fn, num_buckets=8)
+
+
+# ---------------------------------------------------------------------------
 # Training-mix assembly: per-source sampling fraction + epoch repetition
 # ---------------------------------------------------------------------------
 
