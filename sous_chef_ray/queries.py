@@ -4227,6 +4227,70 @@ def nation_revenue_share(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Cross-document duplicated-substring spans (exact-substring dedup shape)
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)),
+runs AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM hits
+),
+runlen AS (SELECT doc_id, grp, count(*) AS rl FROM runs GROUP BY doc_id, grp),
+perdoc AS (
+  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         CAST(max(r.mx) AS BIGINT) AS max_dup_run
+  FROM hits h
+  JOIN (SELECT doc_id, max(rl) AS mx FROM runlen GROUP BY doc_id) r
+    ON r.doc_id = h.doc_id
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(p.max_dup_run, 0) AS max_dup_run,
+       CASE WHEN p.max_dup_run IS NULL THEN 0
+            ELSE p.max_dup_run + 2 END AS dup_span_words
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+
+@register("doc_duplicate_spans", _DUPSPAN_SQL)
+def doc_duplicate_spans(sf_dir: str):
+    """Exact-substring dedup signal (the 'deduplicating training data'
+    shape): word-3-gram hashes appearing in >= 2 distinct docs are found
+    distributed (8-byte (hash, n) pairs shuffle), broadcast, and one
+    vectorized pass per batch marks hit positions, groups consecutive
+    hits into runs (never crossing docs) and reports per doc the number
+    of duplicated grams and the longest verbatim-shared span in words."""
+    from sous_chef_ray.stages.text import (
+        find_crossdoc_grams,
+        flag_duplicate_substrings,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    dup = find_crossdoc_grams(docs, n=3, min_docs=2)
+    out = flag_duplicate_substrings(docs, dup, n=3)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_dup_grams": t["n_dup_grams"],
+            "max_dup_run": t["max_dup_run"],
+            "dup_span_words": t["dup_span_words"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # Robust (median/MAD) per-source outlier detection — integer-exact
 # ---------------------------------------------------------------------------
 

@@ -546,3 +546,82 @@ def decontaminate(
 
     return corpus.map_batches(decon, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-substring detection (exact-substring dedup,
+# the "deduplicating training data" shape: find long token runs shared
+# verbatim across documents)
+# ---------------------------------------------------------------------------
+
+def find_crossdoc_grams(
+    ds: "rd.Dataset", text_col: str = "text", n: int = 8,
+    min_docs: int = 2, split_pattern: str = " ",
+) -> np.ndarray:
+    """Word-n-gram hashes appearing in >= ``min_docs`` DISTINCT docs.
+    Same distributed shape as find_boilerplate_lines: each batch emits
+    per-doc-distinct (hash, 1) pairs, the groupby sums in-cluster, and
+    only the (bounded) duplicated-gram set returns to the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[text_col], split_pattern)
+        gram, parent = _word_gram_hashes(words, n)
+        pairs = np.unique(np.stack([parent, gram.view(np.int64)]), axis=1)
+        vals, counts = np.unique(pairs[1], return_counts=True)
+        return pa.table({"h": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+    )
+    hot = agg.filter(expr=f"n >= {min_docs}").to_pandas()
+    return np.sort(hot["h"].to_numpy(dtype=np.int64))
+
+
+def flag_duplicate_substrings(
+    ds: "rd.Dataset",
+    dup_grams: np.ndarray,
+    text_col: str = "text",
+    n: int = 8,
+    split_pattern: str = " ",
+) -> "rd.Dataset":
+    """Per document: how much of it is verbatim-duplicated elsewhere.
+    Broadcasts the duplicated-gram set and, in one vectorized pass,
+    marks gram positions that hit, groups consecutive hits into runs
+    (never crossing doc boundaries), and emits per doc:
+
+    - ``n_dup_grams``  — duplicated gram positions
+    - ``max_dup_run``  — longest consecutive duplicated-gram run; a run
+      of r grams is a verbatim-shared span of r + n - 1 words
+    - ``dup_span_words`` — that longest span in words (0 if none)
+
+    Downstream policy (drop doc, cut span, keep) stays with the caller."""
+    import ray
+
+    hot_ref = ray.put(np.sort(dup_grams))
+
+    def fn(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        words = pc.split_pattern(t[text_col], split_pattern)
+        gram, parent = _word_gram_hashes(words, n)
+        hit = np.isin(gram.view(np.int64), hot)
+        n_docs = len(t)
+        n_dup = np.bincount(parent[hit], minlength=n_docs).astype(np.int64)
+        max_run = np.zeros(n_docs, dtype=np.int64)
+        if hit.any():
+            # run starts: hit with no preceding hit in the SAME doc
+            prev_hit = np.concatenate([[False], hit[:-1]])
+            prev_parent = np.concatenate([[-1], parent[:-1]])
+            starts = hit & (~prev_hit | (prev_parent != parent))
+            run_id = np.cumsum(starts) - 1          # id per hit position
+            run_len = np.bincount(run_id[hit])
+            run_parent = parent[starts]
+            np.maximum.at(max_run, run_parent, run_len)
+        span = np.where(max_run > 0, max_run + n - 1, 0)
+        t = t.append_column("n_dup_grams", pa.array(n_dup))
+        t = t.append_column("max_dup_run", pa.array(max_run))
+        return t.append_column("dup_span_words", pa.array(span))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

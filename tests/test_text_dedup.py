@@ -454,3 +454,37 @@ def test_mix_sources_fraction_and_epochs():
               if hashlib.md5(t.encode()).hexdigest() < "ff"}
     d_rows = out[out["source"] == "d"]
     assert set(d_rows["doc_id"]) == want_d and (d_rows["epoch"] == 1).all()
+
+
+def test_duplicate_substring_detection_planted_span():
+    """Two docs sharing a verbatim 25-word passage are flagged with
+    dup_span_words == 25 (run of 25-8+1 grams at n=8); a doc sharing
+    only 7 words (< n) is clean; runs never cross doc boundaries."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sous_chef_ray.stages.text import (
+        find_crossdoc_grams,
+        flag_duplicate_substrings,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(25))
+    short = " ".join(f"shared{i}" for i in range(7))
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"alpha beta {passage} gamma delta",
+            f"intro words here {passage} outro",
+            f"nothing in common {short} with others at all really",
+            "totally unique document content here folks",
+        ],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    dup = find_crossdoc_grams(ds, n=8, min_docs=2)
+    out = (flag_duplicate_substrings(ds, dup, n=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "dup_span_words"] == 25
+    assert out.loc[1, "dup_span_words"] == 25
+    assert out.loc[0, "max_dup_run"] == 18
+    assert out.loc[2, "n_dup_grams"] == 0
+    assert out.loc[3, "n_dup_grams"] == 0
