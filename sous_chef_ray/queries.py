@@ -4227,6 +4227,41 @@ def nation_revenue_share(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Per-source document cap (the per-domain cap step of web-corpus recipes)
+# ---------------------------------------------------------------------------
+
+_CAP_SQL = """
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY md5(text), doc_id) <= 10
+"""
+
+
+@register("per_source_doc_cap", _CAP_SQL)
+def per_source_doc_cap(sf_dir: str):
+    """Per-domain cap: keep at most 10 docs per source, chosen by
+    deterministic md5 order (stateless, partitioning-independent — the
+    same docs survive on any cluster size). One partition_apply bucket
+    pass does a vectorized per-source nsmallest; only (doc_id, source,
+    16-byte hash) rows shuffle, never text."""
+    from sous_chef_ray.stages.partition import partition_apply
+    from sous_chef_ray.stages.text import add_md5_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    slim = add_md5_fingerprint(docs, "text").select_columns(
+        ["doc_id", "source", "fingerprint"])
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "fingerprint", "doc_id"],
+                            kind="mergesort")
+        kept = df.groupby("source", sort=False).head(10)
+        return kept[["doc_id", "source"]]
+
+    return partition_apply(slim, "source", cap, num_buckets=8)
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicated-substring spans (exact-substring dedup shape)
 # ---------------------------------------------------------------------------
 
