@@ -4227,6 +4227,56 @@ def nation_revenue_share(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery shape: orders above the customer's own average
+# ---------------------------------------------------------------------------
+
+_ABOVEAVG_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders o JOIN s ON s.o_custkey = o.o_custkey
+WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * s.n > s.sum_c
+"""
+
+
+@register("orders_above_customer_avg", _ABOVEAVG_SQL)
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery shape (WHERE price > AVG(...) per customer)
+    as ONE partition_apply pass: each bucket holds whole customers, the
+    per-customer sum/count are vectorized transforms, and the comparison
+    is the integer cross-multiplication price_c * n > sum_c — no float
+    average exists on either side, so parity is exact by construction."""
+    from sous_chef_ray.stages.partition import partition_apply
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"], "price_c": cents})
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey")["price_c"]
+        n = g.transform("size").to_numpy(dtype=np.int64)
+        s = g.transform("sum").to_numpy(dtype=np.int64)
+        keep = df["price_c"].to_numpy() * n > s
+        return df.loc[keep, ["o_orderkey", "o_custkey", "price_c"]]
+
+    slim = orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partition_apply(slim, "o_custkey", above,
+                           num_buckets=_buckets(sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
 # Per-source document cap (the per-domain cap step of web-corpus recipes)
 # ---------------------------------------------------------------------------
 
