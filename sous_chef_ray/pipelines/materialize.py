@@ -34,42 +34,51 @@ def tokenize_documents(docs: "rd.Dataset", vocab: int = 50257) -> "rd.Dataset":
     (testdata doc_ids are the ingestion order).
     """
 
-    def tok(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.split()
-        flat = words.explode()
+    import pyarrow.compute as pc
+
+    def tok(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        words = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(words)
+        # utf8_split_whitespace keeps "" at leading/trailing whitespace
+        # (unlike Python str.split()); drop them so semantics match.
+        nonempty = pc.not_equal(flat, "")
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        if not pc.all(nonempty).as_py():
+            keep = nonempty.to_numpy(zero_copy_only=False)
+            flat = flat.filter(nonempty)
+            parents = parents[keep]
+        lengths = np.bincount(parents, minlength=len(t)).astype(np.int64)
         hashed = (
-            pd.util.hash_pandas_object(flat.astype(str), index=False).to_numpy()
+            pd.util.hash_pandas_object(flat.to_pandas(), index=False).to_numpy()
             % np.uint64(vocab)
         ).astype(np.int32)
-        lengths = words.map(len).to_numpy(dtype=np.int64)
         offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         tokens = pa.LargeListArray.from_arrays(
             pa.array(offsets), pa.array(hashed)
         ).cast(pa.list_(pa.int32()))
-        import pyarrow.compute as pc
-
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        ids = pc.cast(t["doc_id"], pa.int64())
         id_str = pc.binary_join_element_wise(
-            "doc", pc.utf8_lpad(pc.cast(pa.array(ids), pa.string()), 8, "0"), ""
+            "doc", pc.utf8_lpad(pc.cast(ids, pa.string()), 8, "0"), ""
         )
-        out = pa.table(
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "doc_id": id_str,
                 "tokens": tokens,
                 "n_tok": pa.array(lengths.astype(np.int32)),
-                "source": pa.array(batch["source"].to_numpy(dtype=object), type=pa.string()),
+                "source": pc.cast(t["source"], pa.string()),
                 "event_ts": pa.array(
-                    BASE_TS_US + ids * 1_000_000, type=pa.timestamp("us")
+                    BASE_TS_US + ids_np * 1_000_000, type=pa.timestamp("us")
                 ),
                 "created_ts": pa.array(
-                    BASE_TS_US + ids * 1_000_000 + 1, type=pa.timestamp("us")
+                    BASE_TS_US + ids_np * 1_000_000 + 1, type=pa.timestamp("us")
                 ),
             }
         )
-        return out
 
-    return docs.map_batches(tok, batch_format="pandas")
+    return docs.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def window_features(

@@ -1675,9 +1675,12 @@ def streaming_tumbling_by_user(sf_dir: str):
     SHARD-FED: the events table hash-partitions by user (one shuffle);
     each shard sorts by event time inside its own Ray task and streams
     through its watermark state machine in arrival-ordered chunks — no
-    global sort, no driver byte path (round-2 review item). The result
-    must reproduce the batch aggregate EXACTLY (SQL oracle)."""
-    from sous_chef_ray.stages.streaming import streaming_tumbling_window_sharded
+    global sort, no driver byte path (round-2 review item). The operator
+    returns a Dataset (round-3 review item: no driver collect inside the
+    operator); this bounded oracle query collects it at the end. The
+    result must reproduce the batch aggregate EXACTLY (SQL oracle)."""
+    from sous_chef_ray.stages.streaming import (
+        collect_closed_windows, streaming_tumbling_window_sharded)
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
@@ -1687,12 +1690,13 @@ def streaming_tumbling_by_user(sf_dir: str):
             "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
         })
 
-    out, dropped = streaming_tumbling_window_sharded(
+    out_ds = streaming_tumbling_window_sharded(
         ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
         key_col="user_id", ts_col="ts", value_col="cents",
         window=pd.Timedelta(hours=6), allowed_lateness=pd.Timedelta(hours=1),
         num_shards=max(4, _buckets(sf_dir, "events")),
     )
+    out, dropped = collect_closed_windows(out_ds, "user_id", ["window_start"])
     assert dropped == 0, dropped
     return out[["user_id", "window_start", "n_events", "sum_value"]]
 
@@ -1722,8 +1726,10 @@ def streaming_sessions_by_user(sf_dir: str):
     (stages/streaming.WatermarkSessionWindow), SHARD-FED: hash-partition
     by user, per-shard event-time order, per-shard watermark — closed +
     flushed sessions equal the batch sessionization aggregate EXACTLY
-    (SQL oracle). No global sort, no driver ingest loop."""
-    from sous_chef_ray.stages.streaming import streaming_session_window_sharded
+    (SQL oracle). No global sort, no driver ingest loop; the operator
+    returns a Dataset and this bounded oracle query collects it."""
+    from sous_chef_ray.stages.streaming import (
+        collect_closed_windows, streaming_session_window_sharded)
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
@@ -1733,12 +1739,13 @@ def streaming_sessions_by_user(sf_dir: str):
             "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
         })
 
-    out, dropped = streaming_session_window_sharded(
+    out_ds = streaming_session_window_sharded(
         ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
         key_col="user_id", ts_col="ts", value_col="cents",
         gap=pd.Timedelta(minutes=30), allowed_lateness=pd.Timedelta(minutes=5),
         num_shards=max(4, _buckets(sf_dir, "events")),
     )
+    out, dropped = collect_closed_windows(out_ds, "user_id", ["session_start"])
     assert dropped == 0, dropped
     return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
 

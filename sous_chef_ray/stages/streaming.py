@@ -179,14 +179,19 @@ def streaming_tumbling_window_sharded(
     allowed_lateness: pd.Timedelta,
     num_shards: int = 4,
     chunk: int = 4096,
-) -> Tuple[pd.DataFrame, int]:
+):
     """Shard-fed streaming tumbling windows over a Dataset — the scale
     path. The round-2 feed globally sorted ALL events and pushed bytes
     through a single driver ``iter_batches`` loop; here the dataset
     hash-partitions by key (one shuffle), each shard block sorts by
     event time INSIDE its own Ray task and streams through its own
     watermark state machine in arrival-ordered chunks. No global sort,
-    no driver byte path — the driver only sees closed-window aggregates.
+    no driver byte path, and (round-3 review item) NO driver collect:
+    the result is a ``ray.data.Dataset`` of closed-window rows
+    (key, window_start, n_events, sum_value, __dropped__) — at 100 TB
+    the (key, window) aggregate table itself can be billions of rows,
+    so callers decide where it goes (write_parquet, further stages, or
+    a bounded ``collect_closed_windows`` for small results).
 
     Per-shard arrival order is event-time order, so with any
     ``allowed_lateness`` ≥ 0 nothing drops and the result equals the
@@ -204,24 +209,31 @@ def streaming_tumbling_window_sharded(
         rows = _run_state_machine(t, state, key_col, ts_col, value_col, chunk)
         k, s, n, v = (list(x) for x in zip(*rows)) if rows else ([], [], [], [])
         # dropped-late count rides in the shard's FIRST row only, so a
-        # driver-side sum recovers the total
+        # downstream sum recovers the total
         dropped = [state.dropped_late] + [0] * (len(rows) - 1) if rows else []
         return pa.table({
             key_col: pa.array(k, type=t.schema.field(key_col).type),
-            "window_start_us": pa.array(s, type=pa.int64()),
+            "window_start": pa.array(s, type=pa.int64()).cast(pa.timestamp("us")),
             "n_events": pa.array(n, type=pa.int64()),
             "sum_value": pa.array(v, type=pa.int64()),
             "__dropped__": pa.array(dropped, type=pa.int64()),
         })
 
-    out = partition_apply(
+    return partition_apply(
         ds, key_col, run_shard, num_buckets=num_shards, batch_format="pyarrow"
-    ).to_pandas()
+    )
+
+
+def collect_closed_windows(out_ds, key_col: str,
+                           time_cols) -> Tuple[pd.DataFrame, int]:
+    """Bounded driver collect of a sharded streaming-window Dataset:
+    strips/sums the ``__dropped__`` side channel and sorts by
+    (key, first time column). Only for SMALL aggregate tables — at scale
+    consume the Dataset directly (write_parquet / further stages)."""
+    out = out_ds.to_pandas()
     dropped = int(out["__dropped__"].sum()) if len(out) else 0
-    out = out.drop(columns=["__dropped__"])
-    out["window_start"] = pd.to_datetime(out["window_start_us"], unit="us")
-    out = out.drop(columns=["window_start_us"]).sort_values(
-        [key_col, "window_start"]).reset_index(drop=True)
+    out = out.drop(columns=["__dropped__"]).sort_values(
+        [key_col, time_cols[0]]).reset_index(drop=True)
     return out, dropped
 
 
@@ -235,10 +247,11 @@ def streaming_session_window_sharded(
     allowed_lateness: pd.Timedelta,
     num_shards: int = 4,
     chunk: int = 4096,
-) -> Tuple[pd.DataFrame, int]:
+):
     """Shard-fed streaming gap-sessionization — same plan as
-    :func:`streaming_tumbling_window_sharded` with the session-merge
-    state machine per shard."""
+    :func:`streaming_tumbling_window_sharded` (returns a Dataset with a
+    ``__dropped__`` side channel) with the session-merge state machine
+    per shard."""
     from sous_chef_ray.stages.partition import partition_apply
 
     gap_us = int(pd.Timedelta(gap).value // 1000)
@@ -252,23 +265,16 @@ def streaming_session_window_sharded(
         dropped = [state.dropped_late] + [0] * (len(rows) - 1) if rows else []
         return pa.table({
             key_col: pa.array(k, type=t.schema.field(key_col).type),
-            "session_start_us": pa.array(s0, type=pa.int64()),
-            "session_end_us": pa.array(s1, type=pa.int64()),
+            "session_start": pa.array(s0, type=pa.int64()).cast(pa.timestamp("us")),
+            "session_end": pa.array(s1, type=pa.int64()).cast(pa.timestamp("us")),
             "n_events": pa.array(n, type=pa.int64()),
             "sum_value": pa.array(v, type=pa.int64()),
             "__dropped__": pa.array(dropped, type=pa.int64()),
         })
 
-    out = partition_apply(
+    return partition_apply(
         ds, key_col, run_shard, num_buckets=num_shards, batch_format="pyarrow"
-    ).to_pandas()
-    dropped = int(out["__dropped__"].sum()) if len(out) else 0
-    out = out.drop(columns=["__dropped__"])
-    out["session_start"] = pd.to_datetime(out["session_start_us"], unit="us")
-    out["session_end"] = pd.to_datetime(out["session_end_us"], unit="us")
-    out = out.drop(columns=["session_start_us", "session_end_us"]).sort_values(
-        [key_col, "session_start"]).reset_index(drop=True)
-    return out, dropped
+    )
 
 
 class WatermarkSessionWindow:

@@ -159,7 +159,8 @@ def test_sharded_dataset_feed_shard_invariance():
     tumbling aggregate."""
     import ray.data as rd
 
-    from sous_chef_ray.stages.streaming import streaming_tumbling_window_sharded
+    from sous_chef_ray.stages.streaming import (
+        collect_closed_windows, streaming_tumbling_window_sharded)
 
     rng = np.random.default_rng(5)
     n = 5000
@@ -173,12 +174,14 @@ def test_sharded_dataset_feed_shard_invariance():
     ds = rd.from_pandas(df).repartition(6)
     outs = []
     for shards in (1, 4, 16):
-        out, dropped = streaming_tumbling_window_sharded(
+        out_ds = streaming_tumbling_window_sharded(
             ds, key_col="k", ts_col="ts", value_col="v",
             window=pd.Timedelta(hours=6),
             allowed_lateness=pd.Timedelta(minutes=1),
             num_shards=shards, chunk=512,
         )
+        assert isinstance(out_ds, rd.Dataset)  # operator must NOT collect
+        out, dropped = collect_closed_windows(out_ds, "k", ["window_start"])
         assert dropped == 0
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
@@ -200,7 +203,8 @@ def test_sharded_dataset_feed_shard_invariance():
 def test_sharded_session_feed_matches_batch():
     import ray.data as rd
 
-    from sous_chef_ray.stages.streaming import streaming_session_window_sharded
+    from sous_chef_ray.stages.streaming import (
+        collect_closed_windows, streaming_session_window_sharded)
 
     rng = np.random.default_rng(9)
     n = 3000
@@ -212,12 +216,14 @@ def test_sharded_session_feed_matches_batch():
         "v": rng.integers(0, 50, n).astype(np.int64),
     })
     ds = rd.from_pandas(df).repartition(5)
-    out, dropped = streaming_session_window_sharded(
+    out_ds = streaming_session_window_sharded(
         ds, key_col="k", ts_col="ts", value_col="v",
         gap=pd.Timedelta(minutes=30),
         allowed_lateness=pd.Timedelta(minutes=1),
         num_shards=4, chunk=256,
     )
+    assert isinstance(out_ds, rd.Dataset)  # operator must NOT collect
+    out, dropped = collect_closed_windows(out_ds, "k", ["session_start"])
     assert dropped == 0
     sdf = df.sort_values(["k", "ts"]).reset_index(drop=True)
     new = (sdf.groupby("k")["ts"].diff() > pd.Timedelta(minutes=30)) | (
