@@ -1,0 +1,1254 @@
+"""SQL text → executable Ray Data plan.
+
+The engine already ports the reference's SQL *validation* surface
+(reference: src/sous_chef/sql_sources.py:89-146 column parsing,
+src/sous_chef/validators.py:15-16 AGGREGATE_FUNCTIONS / WINDOW_FUNCTIONS
+allow-lists) and implements every tier-C operator natively
+(stages/agg.py, stages/window.py, functions/sqlfns.py) — but until this
+module the two halves never met: a validated SELECT string could not be
+*executed*.  The reference pushes SQL to a warehouse
+(sql_sources.py:315-322); the Ray-native analogue is this compiler,
+which parses the recognized tier-C surface and dispatches to the
+existing stage library:
+
+  - FROM table            → ray.data.read_parquet (columns= pruned to
+                            exactly the referenced base columns)
+  - WHERE                 → pushed into the parquet scan as a
+                            pyarrow.dataset expression when the
+                            predicate is scan-expressible (col ⋈ literal
+                            conjunctions), else a vectorized
+                            map_batches filter — never a row loop
+  - scalar expressions    → pyarrow.compute kernels via eval_expr
+                            (arithmetic with DuckDB division/round
+                            semantics, CASE, CAST, string/date
+                            functions from functions/sqlfns.py)
+  - GROUP BY + aggregates → per-batch projection of key / argument
+                            expressions (the partial/combine happens
+                            inside Ray's hash aggregate), then
+                            Dataset.groupby().aggregate(Sum/Min/Max/
+                            Count/…); COUNT(DISTINCT x) routes to
+                            stages/agg.count_distinct (per-batch dedup
+                            combiner) and re-joins on the bounded
+                            post-aggregate table
+  - window functions      → stages/window.with_row_number / with_rank /
+                            with_lag_lead / with_first_last /
+                            with_running_sum (all partition_apply-based:
+                            one bucketed shuffle, per-bucket vector
+                            sort)
+  - HAVING / ORDER / LIMIT→ post-aggregate (bounded) or Dataset.sort/
+                            limit on the streaming path
+
+Scale shape: the only driver-side materialization is the post-GROUP-BY
+aggregate table (bounded: one row per group) — exactly the contract the
+hand-built queries in queries.py follow.  Projection-only statements
+return a streaming Dataset.
+
+Exactness: division is always float64 (DuckDB: 7/2 = 3.5), ROUND and
+CAST(float AS int) round half-away-from-zero (DuckDB: round(2.5)=3,
+CAST(2.5 AS BIGINT)=3), so a query string executed here and handed to
+DuckDB verbatim produces bit-identical values when float aggregates use
+the integer-cents idiom (see queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>\d+\.\d+|\.\d+|\d+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+    | (?P<op><=|>=|<>|!=|\|\||[=<>+\-*/%(),])
+    )""",
+    re.X,
+)
+
+
+def tokenize(sql: str) -> List[Tuple[str, str]]:
+    # strip -- comments
+    sql = "\n".join(ln.split("--")[0] for ln in sql.splitlines())
+    out: List[Tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            if sql[pos:].strip():
+                raise ValueError(f"cannot tokenize SQL at: {sql[pos:pos+30]!r}")
+            break
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "ident":
+            out.append(("ident", m.group("ident")))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Col:
+    name: str  # unqualified (last segment), original case
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: object
+    kind: str = "auto"  # int | float | str | bool | null | timestamp | interval
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Un:
+    op: str  # NOT | NEG
+    operand: object
+
+
+@dataclass(frozen=True)
+class Func:
+    name: str  # uppercased
+    args: tuple
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class Win:
+    func: Func
+    partition_by: tuple
+    order_by: tuple  # of (expr, desc: bool)
+    frame: Optional[str] = None  # None | 'rows_unbounded_preceding'
+
+
+@dataclass(frozen=True)
+class Case:
+    whens: tuple  # of (cond, value)
+    default: object = None
+
+
+@dataclass(frozen=True)
+class Cast:
+    operand: object
+    to: str  # uppercased SQL type name
+
+
+@dataclass(frozen=True)
+class InList:
+    operand: object
+    items: tuple
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Between:
+    operand: object
+    lo: object
+    hi: object
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class IsNull:
+    operand: object
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Like:
+    operand: object
+    pattern: str
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Star:
+    pass
+
+
+@dataclass
+class Select:
+    items: List[Tuple[Optional[str], object]]  # (alias-or-None, expr)
+    table: str
+    where: object = None
+    group_by: List[object] = field(default_factory=list)
+    having: object = None
+    order_by: List[Tuple[object, bool]] = field(default_factory=list)
+    limit: Optional[int] = None
+
+
+_KEYWORDS_STOP = {
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "AS", "AND",
+    "OR", "NOT", "WHEN", "THEN", "ELSE", "END", "ASC", "DESC", "BY",
+    "IN", "BETWEEN", "LIKE", "IS", "NULL", "OVER", "PARTITION", "ROWS",
+    "UNBOUNDED", "PRECEDING", "CURRENT", "ROW", "DISTINCT", "ON",
+}
+
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_WIN_FNS = {
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
+    "FIRST_VALUE", "LAST_VALUE", "SUM", "COUNT", "AVG",
+}
+
+
+class _Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # --- token helpers ---
+    def peek(self, off: int = 0):
+        j = self.i + off
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def peek_kw(self, off: int = 0) -> str:
+        k, v = self.peek(off)
+        return v.upper() if k == "ident" else ""
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> bool:
+        if self.peek_kw() in kws:
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, kw: str):
+        if not self.accept_kw(kw):
+            raise ValueError(f"expected {kw}, got {self.peek()!r}")
+
+    def accept_op(self, *ops: str) -> bool:
+        k, v = self.peek()
+        if k == "op" and v in ops:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.accept_op(op):
+            raise ValueError(f"expected {op!r}, got {self.peek()!r}")
+
+    # --- statement ---
+    def parse_select(self) -> Select:
+        self.expect_kw("SELECT")
+        items: List[Tuple[Optional[str], object]] = []
+        while True:
+            expr = self.parse_expr()
+            alias = None
+            if self.accept_kw("AS"):
+                k, v = self.next()
+                if k != "ident":
+                    raise ValueError(f"expected alias, got {v!r}")
+                alias = v
+            items.append((alias, expr))
+            if not self.accept_op(","):
+                break
+        self.expect_kw("FROM")
+        k, table = self.next()
+        if k != "ident":
+            raise ValueError(f"expected table name, got {table!r}")
+        sel = Select(items=items, table=table)
+        if self.accept_kw("WHERE"):
+            sel.where = self.parse_expr()
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            while True:
+                sel.group_by.append(self.parse_expr())
+                if not self.accept_op(","):
+                    break
+        if self.accept_kw("HAVING"):
+            sel.having = self.parse_expr()
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                desc = False
+                if self.accept_kw("DESC"):
+                    desc = True
+                else:
+                    self.accept_kw("ASC")
+                sel.order_by.append((e, desc))
+                if not self.accept_op(","):
+                    break
+        if self.accept_kw("LIMIT"):
+            k, v = self.next()
+            if k != "num":
+                raise ValueError(f"expected LIMIT count, got {v!r}")
+            sel.limit = int(v)
+        if self.peek()[0] != "eof":
+            raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
+        return sel
+
+    # --- expressions (precedence climbing) ---
+    def parse_expr(self):
+        return self._or()
+
+    def _or(self):
+        node = self._and()
+        while self.accept_kw("OR"):
+            node = Bin("OR", node, self._and())
+        return node
+
+    def _and(self):
+        node = self._not()
+        while self.accept_kw("AND"):
+            node = Bin("AND", node, self._not())
+        return node
+
+    def _not(self):
+        if self.accept_kw("NOT"):
+            return Un("NOT", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        node = self._add()
+        negated = False
+        if self.peek_kw() == "NOT" and self.peek_kw(1) in ("IN", "BETWEEN", "LIKE"):
+            self.i += 1
+            negated = True
+        k, v = self.peek()
+        if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.i += 1
+            op = "<>" if v == "!=" else v
+            return Bin(op, node, self._add())
+        if self.accept_kw("IN"):
+            self.expect_op("(")
+            items = [self.parse_expr()]
+            while self.accept_op(","):
+                items.append(self.parse_expr())
+            self.expect_op(")")
+            return InList(node, tuple(items), negated)
+        if self.accept_kw("BETWEEN"):
+            lo = self._add()
+            self.expect_kw("AND")
+            hi = self._add()
+            return Between(node, lo, hi, negated)
+        if self.accept_kw("LIKE"):
+            k2, pat = self.next()
+            if k2 != "str":
+                raise ValueError("LIKE pattern must be a string literal")
+            return Like(node, pat, negated)
+        if self.accept_kw("IS"):
+            neg = self.accept_kw("NOT")
+            self.expect_kw("NULL")
+            return IsNull(node, neg)
+        return node
+
+    def _add(self):
+        node = self._mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-", "||"):
+                self.i += 1
+                node = Bin(v, node, self._mul())
+            else:
+                return node
+
+    def _mul(self):
+        node = self._unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.i += 1
+                node = Bin(v, node, self._unary())
+            else:
+                return node
+
+    def _unary(self):
+        if self.accept_op("-"):
+            return Un("NEG", self._unary())
+        if self.accept_op("+"):
+            return self._unary()
+        return self._primary()
+
+    def _parse_order_list(self) -> List[Tuple[object, bool]]:
+        out = []
+        while True:
+            e = self.parse_expr()
+            desc = False
+            if self.accept_kw("DESC"):
+                desc = True
+            else:
+                self.accept_kw("ASC")
+            out.append((e, desc))
+            if not self.accept_op(","):
+                break
+        return out
+
+    def _primary(self):
+        k, v = self.peek()
+        if k == "num":
+            self.i += 1
+            return Lit(float(v), "float") if "." in v else Lit(int(v), "int")
+        if k == "str":
+            self.i += 1
+            return Lit(v, "str")
+        if k == "op" and v == "(":
+            self.i += 1
+            node = self.parse_expr()
+            self.expect_op(")")
+            return node
+        if k == "op" and v == "*":
+            self.i += 1
+            return Star()
+        if k != "ident":
+            raise ValueError(f"unexpected token {v!r}")
+        up = v.upper()
+        # typed literals
+        if up in ("TIMESTAMP", "DATE") and self.peek(1)[0] == "str":
+            self.i += 1
+            _, s = self.next()
+            return Lit(np.datetime64(s.replace(" ", "T"), "us"), "timestamp")
+        if up == "INTERVAL":
+            self.i += 1
+            k2, v2 = self.next()
+            if k2 == "str":
+                return Lit(pd.Timedelta(v2).to_numpy(), "interval")
+            if k2 == "num":
+                k3, unit = self.next()
+                if k3 != "ident":
+                    raise ValueError("expected INTERVAL unit")
+                unit = unit.upper().rstrip("S")
+                td = pd.Timedelta(**{
+                    {"DAY": "days", "HOUR": "hours", "MINUTE": "minutes",
+                     "SECOND": "seconds", "WEEK": "weeks"}[unit]: int(v2)})
+                return Lit(td.to_numpy(), "interval")
+            raise ValueError("bad INTERVAL literal")
+        if up == "TRUE":
+            self.i += 1
+            return Lit(True, "bool")
+        if up == "FALSE":
+            self.i += 1
+            return Lit(False, "bool")
+        if up == "NULL":
+            self.i += 1
+            return Lit(None, "null")
+        if up == "CAST":
+            self.i += 1
+            self.expect_op("(")
+            operand = self.parse_expr()
+            self.expect_kw("AS")
+            ty_parts = []
+            while self.peek()[0] == "ident":
+                ty_parts.append(self.next()[1])
+            self.expect_op(")")
+            return Cast(operand, " ".join(ty_parts).upper())
+        if up == "CASE":
+            self.i += 1
+            whens = []
+            while self.accept_kw("WHEN"):
+                cond = self.parse_expr()
+                self.expect_kw("THEN")
+                whens.append((cond, self.parse_expr()))
+            default = self.parse_expr() if self.accept_kw("ELSE") else None
+            self.expect_kw("END")
+            return Case(tuple(whens), default)
+        if up == "EXTRACT":
+            self.i += 1
+            self.expect_op("(")
+            k2, part = self.next()
+            self.expect_kw("FROM")
+            operand = self.parse_expr()
+            self.expect_op(")")
+            return Func("EXTRACT", (Lit(part.upper(), "str"), operand))
+        # function call?
+        if self.peek(1) == ("op", "("):
+            self.i += 2
+            distinct = self.accept_kw("DISTINCT")
+            args: List[object] = []
+            if not self.accept_op(")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+            fn = Func(up, tuple(args), distinct)
+            # OVER clause → window
+            if self.peek_kw() == "OVER":
+                self.i += 1
+                self.expect_op("(")
+                part: List[object] = []
+                order: List[Tuple[object, bool]] = []
+                frame = None
+                if self.accept_kw("PARTITION"):
+                    self.expect_kw("BY")
+                    part.append(self.parse_expr())
+                    while self.accept_op(","):
+                        part.append(self.parse_expr())
+                if self.accept_kw("ORDER"):
+                    self.expect_kw("BY")
+                    order = self._parse_order_list()
+                if self.accept_kw("ROWS"):
+                    if self.accept_kw("BETWEEN"):
+                        self.expect_kw("UNBOUNDED")
+                        self.expect_kw("PRECEDING")
+                        self.expect_kw("AND")
+                        if self.accept_kw("UNBOUNDED"):
+                            self.expect_kw("FOLLOWING")
+                            frame = "full_partition"
+                        else:
+                            self.expect_kw("CURRENT")
+                            self.expect_kw("ROW")
+                            frame = "rows_unbounded_preceding"
+                    else:
+                        self.expect_kw("UNBOUNDED")
+                        self.expect_kw("PRECEDING")
+                        frame = "rows_unbounded_preceding"
+                self.expect_op(")")
+                return Win(fn, tuple(part), tuple(order), frame)
+            return fn
+        # bare (possibly qualified) column
+        self.i += 1
+        return Col(v.split(".")[-1])
+
+
+def parse_sql(sql: str) -> Select:
+    return _Parser(sql).parse_select()
+
+
+# ---------------------------------------------------------------------------
+# Expression evaluation over a pyarrow Table
+# ---------------------------------------------------------------------------
+
+_ROUND_AWAY = pc.RoundOptions(round_mode="half_towards_infinity")
+
+_CAST_TYPES = {
+    "BIGINT": pa.int64(), "INT": pa.int32(), "INTEGER": pa.int32(),
+    "SMALLINT": pa.int16(), "DOUBLE": pa.float64(), "FLOAT": pa.float32(),
+    "REAL": pa.float32(), "VARCHAR": pa.string(), "TEXT": pa.string(),
+    "STRING": pa.string(), "DATE": pa.date32(), "TIMESTAMP": pa.timestamp("us"),
+    "BOOLEAN": pa.bool_(), "DOUBLE PRECISION": pa.float64(),
+}
+
+
+def _lit_array(value, kind: str):
+    if kind == "timestamp":
+        return pa.scalar(value, type=pa.timestamp("us"))
+    if kind == "interval":
+        return pa.scalar(value.astype("timedelta64[us]"), type=pa.duration("us"))
+    if kind == "null":
+        return pa.scalar(None, type=pa.null())
+    if kind == "int":
+        return pa.scalar(value, type=pa.int64())
+    if kind == "float":
+        return pa.scalar(value, type=pa.float64())
+    return pa.scalar(value)
+
+
+def _is_floating(x) -> bool:
+    return pa.types.is_floating(x.type)
+
+
+def _to_f64(x):
+    return pc.cast(x, pa.float64()) if not pa.types.is_float64(x.type) else x
+
+
+def _to_string(x):
+    if pa.types.is_string(x.type) or pa.types.is_large_string(x.type):
+        return x
+    return pc.cast(x, pa.string())
+
+
+def eval_expr(node, t: pa.Table):
+    """AST → pyarrow Array/ChunkedArray/Scalar against table ``t``.
+
+    Column lookup is case-insensitive (SQL identifiers); all kernels are
+    pyarrow.compute — no Python row loops anywhere."""
+    from sous_chef_ray.functions import sqlfns
+
+    if isinstance(node, Col):
+        for name in t.column_names:
+            if name.lower() == node.name.lower():
+                return t[name]
+        raise KeyError(f"unknown column {node.name!r}; have {t.column_names}")
+    if isinstance(node, Lit):
+        return _lit_array(node.value, node.kind)
+    if isinstance(node, Un):
+        x = eval_expr(node.operand, t)
+        if node.op == "NOT":
+            return pc.invert(x)
+        return pc.negate(x)
+    if isinstance(node, Bin):
+        if node.op in ("AND", "OR"):
+            l, r = eval_expr(node.left, t), eval_expr(node.right, t)
+            return (pc.and_kleene if node.op == "AND" else pc.or_kleene)(l, r)
+        l, r = eval_expr(node.left, t), eval_expr(node.right, t)
+        if node.op == "=":
+            return pc.equal(l, r)
+        if node.op == "<>":
+            return pc.not_equal(l, r)
+        if node.op == "<":
+            return pc.less(l, r)
+        if node.op == "<=":
+            return pc.less_equal(l, r)
+        if node.op == ">":
+            return pc.greater(l, r)
+        if node.op == ">=":
+            return pc.greater_equal(l, r)
+        if node.op == "||":
+            return pc.binary_join_element_wise(_to_string(l), _to_string(r), "")
+        if node.op == "/":
+            # DuckDB `/` is always double division (7/2 = 3.5)
+            return pc.divide(_to_f64(l), _to_f64(r))
+        if node.op == "%":
+            # arrow has no modulo kernel; a - trunc(a/b)*b (ints stay int)
+            q = pc.cast(pc.trunc(pc.divide(_to_f64(l), _to_f64(r))), pa.int64())
+            return pc.subtract(l, pc.multiply(q, r))
+        fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[node.op]
+        # timestamp ± interval works natively (timestamp + duration)
+        return fn(l, r)
+    if isinstance(node, Case):
+        conds = [eval_expr(c, t) for c, _ in node.whens]
+        vals = [eval_expr(v, t) for _, v in node.whens]
+        default = (eval_expr(node.default, t) if node.default is not None
+                   else pa.scalar(None, type=pa.null()))
+        out = default
+        for cond, val in zip(reversed(conds), reversed(vals)):
+            out = pc.if_else(cond, val, out)
+        return out
+    if isinstance(node, Cast):
+        x = eval_expr(node.operand, t)
+        ty = _CAST_TYPES.get(node.to)
+        if ty is None:
+            raise ValueError(f"unsupported CAST type {node.to!r}")
+        if pa.types.is_integer(ty) and (
+            isinstance(x, (pa.Array, pa.ChunkedArray)) and _is_floating(x)
+            or isinstance(x, pa.Scalar) and pa.types.is_floating(x.type)
+        ):
+            # DuckDB casts float→int by rounding half away from zero
+            x = pc.round(x, options=_ROUND_AWAY)
+            return pc.cast(x, ty)
+        return pc.cast(x, ty)
+    if isinstance(node, InList):
+        x = eval_expr(node.operand, t)
+        vals = [it.value for it in node.items]
+        if not all(isinstance(it, Lit) for it in node.items):
+            raise ValueError("IN list must be literals")
+        out = pc.is_in(x, value_set=pa.array(vals))
+        return pc.invert(out) if node.negated else out
+    if isinstance(node, Between):
+        x = eval_expr(node.operand, t)
+        lo, hi = eval_expr(node.lo, t), eval_expr(node.hi, t)
+        out = pc.and_kleene(pc.greater_equal(x, lo), pc.less_equal(x, hi))
+        return pc.invert(out) if node.negated else out
+    if isinstance(node, IsNull):
+        x = eval_expr(node.operand, t)
+        out = pc.is_null(x)
+        return pc.invert(out) if node.negated else out
+    if isinstance(node, Like):
+        x = eval_expr(node.operand, t)
+        out = pc.match_like(x, node.pattern)
+        return pc.invert(out) if node.negated else out
+    if isinstance(node, Func):
+        return _eval_func(node, t, sqlfns)
+    raise ValueError(f"cannot evaluate node {node!r}")
+
+
+def _scalar_str(node) -> str:
+    if isinstance(node, Lit) and isinstance(node.value, str):
+        return node.value
+    raise ValueError(f"expected string literal argument, got {node!r}")
+
+
+def _scalar_int(node) -> int:
+    if isinstance(node, Lit) and isinstance(node.value, (int, float)):
+        return int(node.value)
+    if isinstance(node, Un) and node.op == "NEG":
+        return -_scalar_int(node.operand)
+    raise ValueError(f"expected integer literal argument, got {node!r}")
+
+
+def _eval_func(node: Func, t: pa.Table, sqlfns):
+    name, args = node.name, node.args
+    ev = lambda i: eval_expr(args[i], t)  # noqa: E731
+    if name in ("UPPER", "UCASE"):
+        return pc.utf8_upper(ev(0))
+    if name in ("LOWER", "LCASE"):
+        return pc.utf8_lower(ev(0))
+    if name in ("LENGTH", "LEN"):
+        return pc.cast(pc.utf8_length(ev(0)), pa.int64())
+    if name == "TRIM":
+        return pc.utf8_trim_whitespace(ev(0))
+    if name in ("SUBSTR", "SUBSTRING"):
+        start = _scalar_int(args[1])
+        length = _scalar_int(args[2]) if len(args) > 2 else None
+        return sqlfns.substr(ev(0), start, length)
+    if name == "REPLACE":
+        return pc.replace_substring(
+            ev(0), pattern=_scalar_str(args[1]), replacement=_scalar_str(args[2]))
+    if name == "CONCAT":
+        parts = [_to_string(eval_expr(a, t)) for a in args]
+        return pc.binary_join_element_wise(*parts, "")
+    if name == "COALESCE":
+        return pc.coalesce(*[eval_expr(a, t) for a in args])
+    if name == "NULLIF":
+        x, y = ev(0), ev(1)
+        return pc.if_else(pc.equal(x, y), pa.scalar(None, type=x.type), x)
+    if name == "NVL":
+        return pc.coalesce(ev(0), ev(1))
+    if name == "IFF":
+        return pc.if_else(ev(0), ev(1), ev(2))
+    if name == "ABS":
+        return pc.abs(ev(0))
+    if name == "FLOOR":
+        return pc.floor(ev(0))
+    if name in ("CEIL", "CEILING"):
+        return pc.ceil(ev(0))
+    if name == "ROUND":
+        nd = _scalar_int(args[1]) if len(args) > 1 else 0
+        return pc.round(ev(0), options=pc.RoundOptions(
+            ndigits=nd, round_mode="half_towards_infinity"))
+    if name == "EXTRACT":
+        return pc.cast(sqlfns.extract(_scalar_str(args[0]), ev(1)), pa.int64())
+    if name in ("YEAR", "MONTH", "DAY"):
+        return pc.cast(sqlfns.extract(name, ev(0)), pa.int64())
+    if name == "DATE_TRUNC":
+        return sqlfns.date_trunc(_scalar_str(args[0]), ev(1))
+    if name == "DATEADD":
+        return sqlfns.dateadd(_scalar_str(args[0]), _scalar_int(args[1]), ev(2))
+    if name == "LAST_DAY":
+        return sqlfns.last_day(ev(0))
+    if name == "GREATEST":
+        return pc.max_element_wise(*[eval_expr(a, t) for a in args])
+    if name == "LEAST":
+        return pc.min_element_wise(*[eval_expr(a, t) for a in args])
+    if name == "STRPOS":
+        return sqlfns.strpos(ev(0), _scalar_str(args[1]))
+    if name == "LEFT":
+        return sqlfns.left(ev(0), _scalar_int(args[1]))
+    if name == "RIGHT":
+        return sqlfns.right(ev(0), _scalar_int(args[1]))
+    if name == "LPAD":
+        fill = _scalar_str(args[2]) if len(args) > 2 else " "
+        return sqlfns.lpad(ev(0), _scalar_int(args[1]), fill)
+    if name == "RPAD":
+        fill = _scalar_str(args[2]) if len(args) > 2 else " "
+        return sqlfns.rpad(ev(0), _scalar_int(args[1]), fill)
+    if name == "SPLIT_PART":
+        return sqlfns.split_part(ev(0), _scalar_str(args[1]), _scalar_int(args[2]))
+    if name == "REVERSE":
+        return sqlfns.reverse(ev(0))
+    if name == "STARTS_WITH":
+        return sqlfns.starts_with(ev(0), _scalar_str(args[1]))
+    if name == "ENDS_WITH":
+        return sqlfns.ends_with(ev(0), _scalar_str(args[1]))
+    if name == "ZEROIFNULL":
+        return sqlfns.zeroifnull(ev(0))
+    raise ValueError(f"unsupported scalar function {name}")
+
+
+# ---------------------------------------------------------------------------
+# Predicate pushdown: AST → pyarrow.dataset expression (best-effort)
+# ---------------------------------------------------------------------------
+
+
+def _to_scan_filter(node):
+    """Convert a WHERE AST to a pyarrow dataset expression, or raise
+    ``ValueError`` if any piece is not scan-expressible.  Only
+    column-vs-literal comparisons, IS [NOT] NULL, IN, and AND/OR
+    combinations qualify — exactly what parquet row-group stats can
+    prune on."""
+    import pyarrow.dataset as pads
+
+    if isinstance(node, Bin):
+        if node.op in ("AND", "OR"):
+            l, r = _to_scan_filter(node.left), _to_scan_filter(node.right)
+            return (l & r) if node.op == "AND" else (l | r)
+        if isinstance(node.left, Col) and isinstance(node.right, Lit):
+            f, v = pads.field(node.left.name), _lit_array(node.right.value,
+                                                          node.right.kind)
+            return {"=": f == v, "<>": f != v, "<": f < v, "<=": f <= v,
+                    ">": f > v, ">=": f >= v}[node.op]
+        raise ValueError("not scan-expressible")
+    if isinstance(node, IsNull):
+        if isinstance(node.operand, Col):
+            import pyarrow.dataset as pads2
+
+            f = pads2.field(node.operand.name)
+            return ~f.is_null() if node.negated else f.is_null()
+        raise ValueError("not scan-expressible")
+    if isinstance(node, InList):
+        if isinstance(node.operand, Col) and not node.negated:
+            import pyarrow.dataset as pads2
+
+            return pads2.field(node.operand.name).isin(
+                [it.value for it in node.items])
+        raise ValueError("not scan-expressible")
+    if isinstance(node, Between):
+        if isinstance(node.operand, Col) and not node.negated \
+                and isinstance(node.lo, Lit) and isinstance(node.hi, Lit):
+            import pyarrow.dataset as pads2
+
+            f = pads2.field(node.operand.name)
+            return (f >= _lit_array(node.lo.value, node.lo.kind)) & (
+                f <= _lit_array(node.hi.value, node.hi.kind))
+        raise ValueError("not scan-expressible")
+    raise ValueError("not scan-expressible")
+
+
+# ---------------------------------------------------------------------------
+# Plan + execute
+# ---------------------------------------------------------------------------
+
+
+def _walk(node):
+    yield node
+    for f_ in getattr(node, "__dataclass_fields__", {}):
+        v = getattr(node, f_)
+        if isinstance(v, (list, tuple)):
+            for item in v:
+                if isinstance(item, tuple):
+                    for sub in item:
+                        if hasattr(sub, "__dataclass_fields__"):
+                            yield from _walk(sub)
+                elif hasattr(item, "__dataclass_fields__"):
+                    yield from _walk(item)
+        elif hasattr(v, "__dataclass_fields__"):
+            yield from _walk(v)
+
+
+def _base_columns(sel: Select) -> List[str]:
+    cols = set()
+    nodes = [e for _, e in sel.items]
+    if sel.where is not None:
+        nodes.append(sel.where)
+    nodes.extend(sel.group_by)
+    if sel.having is not None:
+        nodes.append(sel.having)
+    nodes.extend(e for e, _ in sel.order_by)
+    for n in nodes:
+        for sub in _walk(n):
+            if isinstance(sub, Col):
+                cols.add(sub.name)
+    return sorted(cols)
+
+
+def _find(node, kind) -> list:
+    return [n for n in _walk(node) if isinstance(n, kind)]
+
+
+def _find_aggs(node) -> list:
+    """Aggregate Func nodes NOT inside a window call — ``SUM(x) OVER
+    (...)`` is a window function, not a grouped aggregate."""
+    win_funcs = [w.func for w in _find(node, Win)]
+    out = []
+    for n in _walk(node):
+        if isinstance(n, Func) and n.name in _AGG_FNS:
+            if n in win_funcs:
+                win_funcs.remove(n)  # consume one occurrence
+            else:
+                out.append(n)
+    return out
+
+
+def _replace(node, mapping: dict):
+    """Structurally substitute sub-expressions (by dataclass equality)
+    with replacement nodes — used to rewrite aggregate / window calls
+    into references to their computed columns."""
+    if node in mapping:
+        return mapping[node]
+    if not hasattr(node, "__dataclass_fields__"):
+        return node
+    kwargs = {}
+    for f_ in node.__dataclass_fields__:
+        v = getattr(node, f_)
+        if isinstance(v, tuple):
+            kwargs[f_] = tuple(
+                tuple(_replace(s, mapping) for s in item) if isinstance(item, tuple)
+                else _replace(item, mapping)
+                for item in v
+            )
+        elif isinstance(v, list):
+            kwargs[f_] = [_replace(item, mapping) for item in v]
+        elif hasattr(v, "__dataclass_fields__"):
+            kwargs[f_] = _replace(v, mapping)
+        else:
+            kwargs[f_] = v
+    return type(node)(**kwargs)
+
+
+def _out_name(alias: Optional[str], expr) -> str:
+    if alias:
+        return alias
+    if isinstance(expr, Col):
+        return expr.name
+    raise ValueError(f"select item needs an alias: {expr!r}")
+
+
+def _project_fn(named_exprs: List[Tuple[str, object]]):
+    """map_batches fn evaluating (name, AST) pairs over Arrow batches."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols, names = [], []
+        for name, expr in named_exprs:
+            v = eval_expr(expr, t)
+            if isinstance(v, pa.Scalar):
+                v = pa.chunked_array([pa.repeat(v, len(t))])
+            if pa.types.is_null(v.type):
+                v = pc.cast(v, pa.string())
+            if pa.types.is_timestamp(v.type) and v.type.unit != "us":
+                # DuckDB returns microsecond timestamps; Ray's shuffle can
+                # downcast date_trunc outputs to [s]
+                v = pc.cast(v, pa.timestamp("us", tz=v.type.tz))
+            names.append(name)
+            cols.append(v)
+        return pa.table(dict(zip(names, cols)))
+
+    return fn
+
+
+def _filter_fn(where):
+    def fn(t: pa.Table) -> pa.Table:
+        mask = eval_expr(where, t)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return t.filter(pc.fill_null(mask, False))
+
+    return fn
+
+
+def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64):
+    """Compile + run a tier-C SELECT over ``{sf_dir}/{table}.parquet``.
+
+    Returns a streaming ``ray.data.Dataset`` for projection-only
+    statements, a bounded ``pandas.DataFrame`` for aggregates (one row
+    per group — same contract as the hand-built queries)."""
+    import ray.data as rd
+
+    from sous_chef_ray.validators import SQLValidator
+
+    # gate on the ported reference validator first: this is the bridge
+    # from the reference's validation surface (validators.py, ported from
+    # ref src/sous_chef/validators.py) to execution
+    if not SQLValidator.validate_sql(sql):
+        raise ValueError("query rejected by SQL validator")
+
+    sel = parse_sql(sql)
+    path = f"{sf_dir}/{sel.table}.parquet"
+    cols = _base_columns(sel)
+
+    scan_filter = None
+    runtime_where = sel.where
+    if sel.where is not None:
+        try:
+            scan_filter = _to_scan_filter(sel.where)
+            runtime_where = None
+        except ValueError:
+            pass
+
+    ds = rd.read_parquet(path, columns=cols, filter=scan_filter)
+    if runtime_where is not None:
+        ds = ds.map_batches(_filter_fn(runtime_where), batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    aggs = []
+    for _, e in sel.items:
+        aggs.extend(_find_aggs(e))
+    if sel.having is not None:
+        aggs.extend(_find_aggs(sel.having))
+
+    if sel.group_by or aggs:
+        return _execute_aggregate(ds, sel, aggs, num_buckets)
+
+    wins = []
+    for _, e in sel.items:
+        wins.extend(_find(e, Win))
+    if wins:
+        return _execute_window(ds, sel, wins, num_buckets)
+
+    # pure projection → streaming Dataset
+    named = [(_out_name(a, e), e) for a, e in sel.items]
+    out = ds.map_batches(_project_fn(named), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    if sel.order_by:
+        keys = [_order_key(named, e) for e, _ in sel.order_by]
+        out = out.sort(keys, descending=[d for _, d in sel.order_by])
+    if sel.limit is not None:
+        out = out.limit(sel.limit)
+    return out
+
+
+def _order_key(named: List[Tuple[str, object]], expr) -> str:
+    """ORDER BY entry → output column name (alias, column, or ordinal)."""
+    if isinstance(expr, Lit) and isinstance(expr.value, int):
+        return named[expr.value - 1][0]
+    for name, e in named:
+        if e == expr:
+            return name
+    if isinstance(expr, Col):
+        for name, e in named:
+            if name.lower() == expr.name.lower():
+                return name
+        return expr.name
+    raise ValueError(f"ORDER BY expression not in select list: {expr!r}")
+
+
+def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
+    """GROUP BY plan: per-batch projection of keys + aggregate args →
+    Dataset.groupby().aggregate() (partial/combine inside Ray's hash
+    aggregate) → bounded post-aggregate expression evaluation."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from sous_chef_ray.stages.agg import count_distinct
+
+    # group keys: resolve ordinals (GROUP BY 1) to select expressions
+    key_exprs = []
+    for g in sel.group_by:
+        if isinstance(g, Lit) and isinstance(g.value, int):
+            key_exprs.append(sel.items[g.value - 1][1])
+        else:
+            key_exprs.append(g)
+    key_names = []
+    for i, ke in enumerate(key_exprs):
+        for a, e in sel.items:
+            if e == ke:
+                key_names.append(_out_name(a, e))
+                break
+        else:
+            key_names.append(ke.name if isinstance(ke, Col) else f"__k{i}")
+
+    # unique aggregates → computed argument columns
+    uniq: List[Func] = []
+    for a in aggs:
+        if a not in uniq:
+            uniq.append(a)
+    distinct_aggs = [a for a in uniq if a.distinct]
+    if any(a.name != "COUNT" for a in distinct_aggs):
+        raise ValueError("only COUNT(DISTINCT x) is supported")
+    if len(distinct_aggs) > 1:
+        raise ValueError("at most one COUNT(DISTINCT x) per query")
+    plain = [a for a in uniq if not a.distinct]
+
+    proj: List[Tuple[str, object]] = list(zip(key_names, key_exprs))
+    ray_aggs = []
+    agg_col = {}
+    for i, a in enumerate(plain):
+        nm = f"__agg{i}"
+        agg_col[a] = nm
+        if a.name == "COUNT" and (not a.args or isinstance(a.args[0], Star)):
+            ray_aggs.append(Count(alias_name=nm))
+            continue
+        arg = a.args[0]
+        if a.name == "COUNT":
+            # COUNT(x): count non-null → exact Sum of validity
+            proj.append((nm, Cast(IsNull(arg, negated=True), "BIGINT")))
+            ray_aggs.append(Sum(nm, alias_name=nm))
+        elif a.name == "SUM":
+            proj.append((nm, arg))
+            ray_aggs.append(Sum(nm, alias_name=nm))
+        elif a.name == "MIN":
+            proj.append((nm, arg))
+            ray_aggs.append(Min(nm, alias_name=nm))
+        elif a.name == "MAX":
+            proj.append((nm, arg))
+            ray_aggs.append(Max(nm, alias_name=nm))
+        elif a.name == "AVG":
+            # AVG = exact SUM(double) / COUNT(non-null), divided post-agg
+            proj.append((nm, Cast(arg, "DOUBLE")))
+            proj.append((nm + "_n", Cast(IsNull(arg, negated=True), "BIGINT")))
+            ray_aggs.append(Sum(nm, alias_name=nm))
+            ray_aggs.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        else:
+            raise ValueError(f"unsupported aggregate {a.name}")
+    if distinct_aggs:
+        d = distinct_aggs[0]
+        agg_col[d] = "__aggd"
+        proj.append(("__aggd_in", d.args[0]))
+
+    slim = ds.map_batches(_project_fn(proj), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    if not key_names:
+        # global aggregate: Ray needs a groupby key → constant key column
+        slim = slim.map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow")
+        agg_t = slim.groupby("__g").aggregate(*ray_aggs).to_pandas() \
+            if ray_aggs else pd.DataFrame({"__g": [0]})
+        agg_t = agg_t.drop(columns=["__g"])
+    else:
+        agg_t = slim.groupby(key_names).aggregate(*ray_aggs).to_pandas()
+
+    if distinct_aggs:
+        dctx = count_distinct(slim, key_names, "__aggd_in", name="__aggd",
+                              num_buckets=num_buckets).to_pandas()
+        agg_t = agg_t.merge(dctx, on=key_names, how="left")
+        agg_t["__aggd"] = agg_t["__aggd"].fillna(0).astype("int64")
+
+    # bounded post-aggregate table (one row per group) → Arrow, then
+    # evaluate the final select expressions with aggregates substituted
+    at = pa.Table.from_pandas(agg_t, preserve_index=False)
+    mapping = {a: Col(c) for a, c in agg_col.items()}
+    for nm, ke in zip(key_names, key_exprs):
+        mapping[ke] = Col(nm)
+
+    def finalize(expr):
+        expr = _replace(expr, mapping)
+        # AVG substitution: Col(__aggN) → __aggN / __aggN_n
+        return expr
+
+    # AVG columns divide here
+    for a in plain:
+        if a.name == "AVG":
+            nm = agg_col[a]
+            col = pc.divide(_to_f64(at[nm].combine_chunks()),
+                            _to_f64(at[nm + "_n"].combine_chunks()))
+            at = at.set_column(at.column_names.index(nm), nm, col)
+
+    if sel.having is not None:
+        mask = eval_expr(finalize(sel.having), at)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        at = at.filter(pc.fill_null(mask, False))
+
+    named = [(_out_name(a, e), finalize(e)) for a, e in sel.items]
+    out = _project_fn(named)(at).to_pandas()
+    if sel.order_by:
+        keys = [_order_key([(n, e) for (n, _), (_, e) in
+                            zip(named, sel.items)], e) for e, _ in sel.order_by]
+        out = out.sort_values(keys, ascending=[not d for _, d in sel.order_by],
+                              kind="mergesort").reset_index(drop=True)
+    if sel.limit is not None:
+        out = out.head(sel.limit)
+    return out
+
+
+def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
+    """Window plan: project base expressions → dispatch each distinct
+    window call to the matching stages/window operator (bucketed
+    partition_apply: one shuffle, per-bucket vector sort) → final
+    projection.  Returns a streaming Dataset."""
+    from sous_chef_ray.stages.window import (
+        with_first_last, with_lag_lead, with_rank, with_row_number,
+        with_running_sum)
+
+    uniq: List[Win] = []
+    for w in wins:
+        if w not in uniq:
+            uniq.append(w)
+
+    # pre-project: every base column used anywhere + computed partition /
+    # order / argument expressions
+    pre: List[Tuple[str, object]] = []
+    seen = {}
+
+    def col_for(expr, hint: str) -> str:
+        if isinstance(expr, Col):
+            if expr.name not in [n for n, _ in pre]:
+                pre.append((expr.name, expr))
+            return expr.name
+        if expr in seen:
+            return seen[expr]
+        nm = f"__{hint}{len(seen)}"
+        seen[expr] = nm
+        pre.append((nm, expr))
+        return nm
+
+    # pass through every base column referenced by the select items
+    for _, e in sel.items:
+        for c in _find(e, Col):
+            col_for(c, "c")
+    for e, _ in sel.order_by:
+        for c in _find(e, Col):
+            col_for(c, "c")
+
+    plans = []  # (win, out_col, dispatch closure args)
+    for i, w in enumerate(uniq):
+        out_col = f"__w{i}"
+        part_cols = [col_for(p, "p") for p in w.partition_by]
+        order_cols = [col_for(o, "o") for o, _ in w.order_by]
+        descs = [d for _, d in w.order_by]
+        arg_col = None
+        if w.func.args and not isinstance(w.func.args[0], Star):
+            arg_col = col_for(w.func.args[0], "a")
+        plans.append((w, out_col, part_cols, order_cols, descs, arg_col))
+
+    out = ds.map_batches(_project_fn(pre), batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    for w, out_col, part_cols, order_cols, descs, arg_col in plans:
+        fname = w.func.name
+        if not part_cols:
+            raise ValueError("window functions require PARTITION BY "
+                             "(global windows need a single partition)")
+        if fname == "ROW_NUMBER":
+            out = with_row_number(out, part_cols, order_cols, descs,
+                                  name=out_col, num_buckets=num_buckets)
+        elif fname in ("RANK", "DENSE_RANK"):
+            if len(order_cols) != 1:
+                raise ValueError("RANK needs exactly one ORDER BY key")
+            out = with_rank(out, part_cols, order_cols[0], descs[0],
+                            name=out_col, dense=fname == "DENSE_RANK",
+                            num_buckets=num_buckets)
+        elif fname in ("LAG", "LEAD"):
+            n = _scalar_int(w.func.args[1]) if len(w.func.args) > 1 else 1
+            if any(descs):
+                raise ValueError("LAG/LEAD with DESC order unsupported")
+            out = with_lag_lead(
+                out, part_cols, order_cols, arg_col,
+                lag=n if fname == "LAG" else 0,
+                lead=n if fname == "LEAD" else 0,
+                lag_name=out_col if fname == "LAG" else None,
+                lead_name=out_col if fname == "LEAD" else None,
+                num_buckets=num_buckets)
+        elif fname in ("FIRST_VALUE", "LAST_VALUE"):
+            if any(descs):
+                raise ValueError("FIRST/LAST_VALUE with DESC unsupported")
+            if fname == "LAST_VALUE" and w.frame != "full_partition":
+                # SQL's default frame ends at the current row, where
+                # LAST_VALUE degenerates to the row itself — require the
+                # explicit whole-partition frame instead of silently
+                # computing the wrong thing
+                raise ValueError(
+                    "LAST_VALUE requires ROWS BETWEEN UNBOUNDED PRECEDING "
+                    "AND UNBOUNDED FOLLOWING")
+            out = with_first_last(
+                out, part_cols, order_cols, arg_col,
+                first_name=out_col if fname == "FIRST_VALUE" else "__drop_f",
+                last_name=out_col if fname == "LAST_VALUE" else "__drop_l",
+                num_buckets=num_buckets)
+            out = out.drop_columns(
+                ["__drop_f" if fname == "LAST_VALUE" else "__drop_l"])
+        elif fname == "SUM" and w.frame == "rows_unbounded_preceding":
+            if any(descs):
+                raise ValueError("running SUM with DESC unsupported")
+            out = with_running_sum(out, part_cols, order_cols, arg_col,
+                                   name=out_col, num_buckets=num_buckets)
+        else:
+            raise ValueError(f"unsupported window function {fname} "
+                             f"(frame={w.frame})")
+
+    mapping = {w: Col(oc) for (w, oc, *_rest) in plans}
+    named = [(_out_name(a, e), _replace(e, mapping)) for a, e in sel.items]
+    final = out.map_batches(_project_fn(named), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    if sel.order_by:
+        keys = [_order_key(named, e) for e, _ in sel.order_by]
+        final = final.sort(keys, descending=[d for _, d in sel.order_by])
+    if sel.limit is not None:
+        final = final.limit(sel.limit)
+    return final

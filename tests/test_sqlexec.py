@@ -1,0 +1,189 @@
+"""SQL → Ray plan compiler (sous_chef_ray/sqlexec.py).
+
+The compiled plan for each supported construct must match DuckDB running
+the IDENTICAL SQL string — that is the whole point of the module (the
+driver's sql_execute_* correctness entries enforce the same contract at
+sf0.01; here we pin parser shapes, evaluation semantics, and the
+unsupported-construct error boundary at sf0.001)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sous_chef_ray.sqlexec import (
+    Bin, Case, Cast, Col, Func, InList, IsNull, Lit, Win, eval_expr,
+    parse_sql, sql_execute)
+
+SF = "/root/testdata/sf0.001"
+TABLES = "orders lineitem events customer nation".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def run_both(con, sql: str) -> None:
+    import ray.data as rd
+
+    got = sql_execute(sql, SF)
+    if isinstance(got, rd.Dataset):
+        got = got.to_pandas()
+    exp = con.execute(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    e = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_select_shape():
+    sel = parse_sql(
+        "SELECT a, b + 1 AS c FROM t WHERE a > 2 GROUP BY a "
+        "HAVING COUNT(*) > 1 ORDER BY a DESC LIMIT 5")
+    assert sel.table == "t"
+    assert sel.items[0] == (None, Col("a"))
+    assert sel.items[1] == ("c", Bin("+", Col("b"), Lit(1, "int")))
+    assert sel.where == Bin(">", Col("a"), Lit(2, "int"))
+    assert sel.group_by == [Col("a")]
+    assert isinstance(sel.having, Bin)
+    assert sel.order_by == [(Col("a"), True)]
+    assert sel.limit == 5
+
+
+def test_parse_window_and_frames():
+    sel = parse_sql(
+        "SELECT SUM(x) OVER (PARTITION BY k ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS s FROM t")
+    w = sel.items[0][1]
+    assert isinstance(w, Win)
+    assert w.func == Func("SUM", (Col("x"),))
+    assert w.frame == "rows_unbounded_preceding"
+    sel2 = parse_sql(
+        "SELECT LAST_VALUE(x) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s FROM t")
+    assert sel2.items[0][1].frame == "full_partition"
+
+
+def test_parse_typed_literals_and_case():
+    sel = parse_sql(
+        "SELECT CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00' THEN 1 "
+        "ELSE 0 END AS flag, CAST(x AS BIGINT) AS xi FROM t "
+        "WHERE d IS NOT NULL AND s IN ('a', 'b') AND x NOT BETWEEN 1 AND 2")
+    case = sel.items[0][1]
+    assert isinstance(case, Case) and case.default == Lit(0, "int")
+    assert sel.items[1][1] == Cast(Col("x"), "BIGINT")
+    conj = sel.where
+    assert isinstance(conj, Bin) and conj.op == "AND"
+
+
+def test_parse_rejects_trailing_garbage():
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t WHERE")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t JOIN u ON a = b")
+
+
+# ---------------------------------------------------------------------------
+# evaluation semantics (DuckDB-pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_eval_duckdb_division_and_round():
+    t = pa.table({"a": pa.array([7, 5], pa.int64())})
+    v = eval_expr(parse_sql("SELECT a / 2 AS h FROM t").items[0][1], t)
+    assert v.to_pylist() == [3.5, 2.5]  # DuckDB: int/int → DOUBLE
+    t2 = pa.table({"x": pa.array([2.5, 3.5, -2.5])})
+    v2 = eval_expr(Func("ROUND", (Col("x"),)), t2)
+    assert v2.to_pylist() == [3.0, 4.0, -3.0]  # half away from zero
+    v3 = eval_expr(Cast(Col("x"), "BIGINT"), t2)
+    assert v3.to_pylist() == [3, 4, -3]
+
+
+def test_eval_null_semantics():
+    t = pa.table({"x": pa.array([1, None, 3], pa.int64())})
+    m = eval_expr(parse_sql("SELECT 1 FROM t WHERE x > 1").where, t)
+    assert m.to_pylist() == [False, None, True]  # Kleene: null stays null
+    nn = eval_expr(IsNull(Col("x"), negated=True), t)
+    assert nn.to_pylist() == [True, False, True]
+    inl = eval_expr(InList(Col("x"), (Lit(1, "int"), Lit(3, "int"))), t)
+    assert inl.to_pylist()[0] is True and inl.to_pylist()[2] is True
+
+
+# ---------------------------------------------------------------------------
+# end-to-end vs DuckDB (same string both sides)
+# ---------------------------------------------------------------------------
+
+
+def test_compiled_family_matches_duckdb(con):
+    """Every registered sql_execute_* query at sf0.001 (the sf0.01 runs
+    are the driver gate's job)."""
+    from sous_chef_ray.queries import _SQL_EXECUTE_FAMILY
+
+    for name, sql in _SQL_EXECUTE_FAMILY.items():
+        run_both(con, sql)
+
+
+def test_where_pushdown_prunes_scan(con):
+    """A scan-expressible WHERE must land in the parquet read filter, not
+    a runtime map_batches filter (plan shape, not just results)."""
+    import ray.data as rd
+
+    sql = ("SELECT o_orderkey FROM orders "
+           "WHERE o_totalprice > 150000 AND o_orderstatus = 'O'")
+    ds = sql_execute(sql, SF)
+    assert isinstance(ds, rd.Dataset)
+    # pushed-down plan = read → ONE MapBatches (the projection); a
+    # non-pushable WHERE adds a second MapBatches (runtime filter)
+    plan = str(ds._plan.get_plan_as_string(type(ds)))
+    assert plan.count("MapBatches") == 1, plan
+    not_pushed = sql_execute(
+        "SELECT o_orderkey FROM orders WHERE UPPER(o_orderstatus) = 'O'", SF)
+    assert str(not_pushed._plan.get_plan_as_string(type(ds))).count(
+        "MapBatches") == 2
+    run_both(con, sql)
+
+
+def test_non_pushable_where_still_correct(con):
+    run_both(con, "SELECT o_orderkey FROM orders "
+                  "WHERE UPPER(o_orderstatus) = 'O' AND o_totalprice / 2 > 50000")
+
+
+def test_group_by_ordinal(con):
+    run_both(con, "SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, "
+                  "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1")
+
+
+def test_count_column_skips_nulls(con):
+    # LAG produces nulls at partition starts; COUNT(col) must skip them.
+    run_both(con, "SELECT CAST(COUNT(o_orderkey) AS BIGINT) AS n, "
+                  "CAST(COUNT(*) AS BIGINT) AS n_star FROM orders")
+
+
+def test_unsupported_constructs_raise():
+    with pytest.raises(ValueError):
+        sql_execute("SELECT a FROM t; DROP TABLE t", SF)  # validator gate
+    with pytest.raises(ValueError):
+        sql_execute(
+            "SELECT LAST_VALUE(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts) AS lv FROM events", SF)  # default frame ≠ whole partition
+    with pytest.raises((ValueError, KeyError)):
+        sql_execute("SELECT MEDIAN(value) AS m FROM events GROUP BY user_id", SF)
+
+
+def test_streaming_projection_returns_dataset():
+    import ray.data as rd
+
+    out = sql_execute("SELECT o_orderkey, o_totalprice * 2 AS dbl FROM orders", SF)
+    assert isinstance(out, rd.Dataset)  # projection stays streaming
+    assert out.count() > 0
