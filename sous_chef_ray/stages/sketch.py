@@ -74,24 +74,15 @@ class HllSketch:
 def approx_count_distinct(
     ds: "rd.Dataset", col: str, p: int = 14
 ) -> float:
-    """Approximate global COUNT(DISTINCT col): per-batch HLL sketches
-    merged on the driver (each sketch is 2^p bytes)."""
-
-    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
-        sk = HllSketch(p)
-        sk.add_hashes(h)
-        return pd.DataFrame({"registers": [sk.registers.tobytes()]})
-
-    merged = HllSketch(p)
-    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
-        batch_size=None, batch_format="pandas"
-    ):
-        for blob in batch["registers"]:
-            other = HllSketch(p)
-            other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
-            merged.merge(other)
-    return merged.estimate()
+    """Approximate global COUNT(DISTINCT col) as a constant-key
+    ``Dataset.aggregate`` over the mergeable HLL accumulator: per-block
+    partial registers (2^p bytes) tree-combine inside Ray's aggregate —
+    no driver-side merge loop (round-3 review item; at 10^12 rows the
+    old per-block ``iter_batches`` loop was millions of sequential
+    driver merges). Register max-merge is associative+commutative, so
+    the combine order Ray picks cannot change the estimate."""
+    out = ds.aggregate(HllDistinct(on=col, p=p, alias_name="nd"))
+    return float(out["nd"])
 
 
 # ---------------------------------------------------------------------------
@@ -173,20 +164,14 @@ class KllSketch:
 
 
 def approx_quantiles(ds: "rd.Dataset", col: str, qs, k: int = 200) -> np.ndarray:
-    """Approximate quantiles of ``col``: per-batch KLL sketches (each a
-    few KB) merged on the driver — no global sort, no value shuffle."""
-
-    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sk = KllSketch(k, seed=(len(df) * 2654435761) & 0x7FFFFFFF)
-        sk.add(df[col].to_numpy(dtype=np.float64))
-        return pd.DataFrame({"kll": [sk.serialize()]})
-
-    merged = KllSketch(k)
-    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
-        batch_size=None, batch_format="pandas"
-    ):
-        for blob in batch["kll"]:
-            merged.merge(KllSketch.deserialize(blob, k))
+    """Approximate quantiles of ``col``: per-block KLL sketches (each a
+    few KB) tree-combined inside a constant-key ``Dataset.aggregate``
+    (round-3 review item: no driver merge loop, no global sort, no value
+    shuffle). The driver sees ONE final serialized sketch and reads all
+    requested quantiles from it."""
+    blob = ds.aggregate(KllQuantile(on=col, k=k, alias_name="kll",
+                                    finalize_raw=True))["kll"]
+    merged = KllSketch.deserialize(blob, k) if blob else KllSketch(k)
     return merged.quantiles(qs)
 
 
@@ -253,23 +238,15 @@ class ThetaSketch:
 
 
 def theta_sketch_of(ds: "rd.Dataset", col: str, k: int = 4096) -> ThetaSketch:
-    """Build a distributed ThetaSketch of ``col``: per-batch KMV sets
-    (≤ k hashes each) merged on the driver."""
-
-    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
-        sk = ThetaSketch(k)
-        sk.add_hashes(np.unique(h))
-        return pd.DataFrame({"kmv": [sk.hashes.tobytes()]})
-
+    """Build a distributed ThetaSketch of ``col``: per-block KMV sets
+    (≤ k hashes each) tree-combined inside a constant-key
+    ``Dataset.aggregate`` (round-3 review item: no driver merge loop).
+    KMV union is associative+commutative — combine order can't change
+    the sketch."""
+    blob = ds.aggregate(ThetaAgg(on=col, k=k, alias_name="kmv"))["kmv"]
     merged = ThetaSketch(k)
-    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
-        batch_size=None, batch_format="pandas"
-    ):
-        for blob in batch["kmv"]:
-            other = ThetaSketch(k)
-            other.hashes = np.frombuffer(blob, dtype=np.uint64).copy()
-            merged.merge(other)
+    if blob:
+        merged.hashes = np.frombuffer(blob, dtype=np.uint64).copy()
     return merged
 
 
@@ -365,27 +342,16 @@ def frequent_items(
 ) -> pd.DataFrame:
     """Approximate top-``top`` heavy hitters of ``col``: per-block exact
     value_counts collapse to k Misra-Gries counters (the shuffle moves
-    ≤ k (item, count) pairs per block, never values), merged on the
-    driver. Any item with true frequency > n/(k+1) is guaranteed
-    present. Useful at 100 TB as the hot-key detector feeding
+    ≤ k (item, count) pairs per block, never values), tree-combined
+    inside a constant-key ``Dataset.aggregate`` (round-3 review item: no
+    driver merge loop). Any item with true frequency > n/(k+1) is
+    guaranteed present. Useful at 100 TB as the hot-key detector feeding
     stages/salt.detect_hot_keys-style salting decisions."""
 
-    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df[col].value_counts()
-        summary = mg_summarize(
-            {i: int(c) for i, c in vc.items()}, k
-        )
-        items = list(summary.keys())
-        return pd.DataFrame({
-            "item": pd.Series(items, dtype=df[col].dtype),
-            "cnt": pd.Series([summary[i] for i in items], dtype="int64"),
-        })
+    blob = ds.aggregate(MisraGriesAgg(on=col, k=k, alias_name="mg"))["mg"]
+    import pickle
 
-    merged: dict = {}
-    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
-        batch_size=None, batch_format="pandas"
-    ):
-        merged = mg_merge(merged, dict(zip(batch["item"], batch["cnt"])), k)
+    merged: dict = pickle.loads(blob) if blob else {}
     rows = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
     if top is not None:
         rows = rows[:top]
@@ -403,9 +369,11 @@ try:
         ``ds.groupby(k).aggregate(KllQuantile(on="v", q=0.5))``."""
 
         def __init__(self, on: str, q: float = 0.5, k: int = 200,
-                     alias_name: str | None = None, ignore_nulls: bool = True):
+                     alias_name: str | None = None, ignore_nulls: bool = True,
+                     finalize_raw: bool = False):
             self._q = q
             self._k = k
+            self._raw = finalize_raw  # finalize → serialized sketch bytes
             super().__init__(
                 alias_name if alias_name else f"approx_p{int(q * 100)}({on})",
                 on=on,
@@ -435,7 +403,9 @@ try:
             a.merge(KllSketch.deserialize(new, self._k))
             return a.serialize()
 
-        def finalize(self, accumulator: bytes) -> float:
+        def finalize(self, accumulator: bytes):
+            if self._raw:
+                return accumulator
             if not accumulator:
                 return float("nan")
             sk = KllSketch.deserialize(accumulator, self._k)
@@ -510,26 +480,135 @@ class CountMinSketch:
 def countmin_of(
     ds: "rd.Dataset", col: str, w: int = 2048, d: int = 4
 ) -> CountMinSketch:
-    """Distributed Count-Min build: each batch collapses to exact
+    """Distributed Count-Min build: each block collapses to exact
     value_counts then folds them into one (d×w×8)-byte partial; the
-    shuffle moves fixed-size tables, never values. Pair with
+    partials tree-combine inside a constant-key ``Dataset.aggregate``
+    (element-wise adds are order-independent — round-3 review item: no
+    driver merge loop). Pair with
     ``frequent_items`` (Misra-Gries) for the candidate set — MG finds
     WHICH items are hot, Count-Min refines HOW hot (MG underestimates,
     CM overestimates, so [mg_est, cm_est] brackets the true count)."""
 
-    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sk = CountMinSketch(w, d)
-        if len(df):
-            vc = df[col].value_counts()
-            sk.add_values(
-                pd.Series(vc.index), vc.to_numpy(dtype=np.int64)
-            )
-        return pd.DataFrame({"cms": [sk.serialize()]})
+    blob = ds.aggregate(CountMinAgg(on=col, w=w, d=d, alias_name="cms"))["cms"]
+    return CountMinSketch.deserialize(blob, w, d) if blob else CountMinSketch(w, d)
 
-    merged = CountMinSketch(w, d)
-    for batch in ds.map_batches(sketch_batch, batch_format="pandas").iter_batches(
-        batch_size=None, batch_format="pandas"
-    ):
-        for blob in batch["cms"]:
-            merged.merge(CountMinSketch.deserialize(blob, w, d))
-    return merged
+
+# ---------------------------------------------------------------------------
+# Theta / Misra-Gries / Count-Min as native Ray Data aggregates — the
+# constant-key global path reuses the exact machinery the grouped
+# HllDistinct / KllQuantile variants already use: per-block partials,
+# tree combine inside Ray's aggregate, finalize at the end.
+# ---------------------------------------------------------------------------
+
+try:
+    from ray.data.aggregate import AggregateFnV2 as _AggV2Sets
+    from ray.data.block import BlockAccessor as _BA
+
+    class ThetaAgg(_AggV2Sets):
+        """KMV/Theta distinct sketch as a Ray Data aggregate: per-block
+        k-minimum-hash sets, sorted-unique-union combine, serialized
+        hash array out (wrap with ``ThetaSketch`` for set operations)."""
+
+        def __init__(self, on: str, k: int = 4096,
+                     alias_name: str | None = None, ignore_nulls: bool = True):
+            self._k = k
+            super().__init__(alias_name if alias_name else f"theta({on})",
+                             on=on, ignore_nulls=ignore_nulls,
+                             zero_factory=lambda: b"")
+
+        def aggregate_block(self, block) -> bytes:
+            col = _BA.for_block(block).to_arrow()[self._target_col_name]
+            if self._ignore_nulls:
+                col = col.drop_null()
+            sk = ThetaSketch(self._k)
+            if len(col):
+                h = pd.util.hash_pandas_object(col.to_pandas(),
+                                               index=False).to_numpy()
+                sk.add_hashes(np.unique(h))
+            return sk.hashes.tobytes()
+
+        def combine(self, current: bytes, new: bytes) -> bytes:
+            if not current:
+                return new
+            if not new:
+                return current
+            a = np.frombuffer(current, dtype=np.uint64)
+            b = np.frombuffer(new, dtype=np.uint64)
+            return np.unique(np.concatenate([a, b]))[: self._k].tobytes()
+
+        def finalize(self, accumulator: bytes) -> bytes:
+            return accumulator
+
+    class MisraGriesAgg(_AggV2Sets):
+        """Misra-Gries heavy-hitter summary as a Ray Data aggregate:
+        per-block exact value_counts reduced to ≤ k counters, pointwise
+        add + re-reduce combine (Agarwal et al. 2012 — associative up to
+        the error bound), pickled {item: count} map out."""
+
+        def __init__(self, on: str, k: int = 32,
+                     alias_name: str | None = None, ignore_nulls: bool = True):
+            self._k = k
+            super().__init__(alias_name if alias_name else f"mg({on})",
+                             on=on, ignore_nulls=ignore_nulls,
+                             zero_factory=lambda: b"")
+
+        def aggregate_block(self, block) -> bytes:
+            import pickle
+
+            col = _BA.for_block(block).to_arrow()[self._target_col_name]
+            if self._ignore_nulls:
+                col = col.drop_null()
+            vc = col.to_pandas().value_counts()
+            summary = mg_summarize({i: int(c) for i, c in vc.items()}, self._k)
+            return pickle.dumps(summary)
+
+        def combine(self, current: bytes, new: bytes) -> bytes:
+            import pickle
+
+            if not current:
+                return new
+            if not new:
+                return current
+            return pickle.dumps(mg_merge(pickle.loads(current),
+                                         pickle.loads(new), self._k))
+
+        def finalize(self, accumulator: bytes) -> bytes:
+            return accumulator
+
+    class CountMinAgg(_AggV2Sets):
+        """Count-Min frequency sketch as a Ray Data aggregate: per-block
+        exact value_counts folded into one (d×w) int64 table, element-wise
+        add combine, serialized table out."""
+
+        def __init__(self, on: str, w: int = 2048, d: int = 4,
+                     alias_name: str | None = None, ignore_nulls: bool = True):
+            self._w = w
+            self._d = d
+            super().__init__(alias_name if alias_name else f"cms({on})",
+                             on=on, ignore_nulls=ignore_nulls,
+                             zero_factory=lambda: b"")
+
+        def aggregate_block(self, block) -> bytes:
+            col = _BA.for_block(block).to_arrow()[self._target_col_name]
+            if self._ignore_nulls:
+                col = col.drop_null()
+            sk = CountMinSketch(self._w, self._d)
+            if len(col):
+                vc = col.to_pandas().value_counts()
+                sk.add_values(pd.Series(vc.index), vc.to_numpy(dtype=np.int64))
+            return sk.serialize()
+
+        def combine(self, current: bytes, new: bytes) -> bytes:
+            if not current:
+                return new
+            if not new:
+                return current
+            a = CountMinSketch.deserialize(current, self._w, self._d)
+            a.merge(CountMinSketch.deserialize(new, self._w, self._d))
+            return a.serialize()
+
+        def finalize(self, accumulator: bytes) -> bytes:
+            return accumulator
+
+except ImportError:  # pragma: no cover - older Ray without V2
+    ThetaAgg = MisraGriesAgg = CountMinAgg = None

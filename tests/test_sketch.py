@@ -278,3 +278,78 @@ def test_countmin_distributed_matches_local():
     local.add_values(pd.Series(vc.index), vc.to_numpy(dtype=np.int64))
     assert (dist.table == local.table).all()
     assert (dist.estimate(pd.Series(vc.index)) == vc.to_numpy()).all()
+
+
+def test_tree_reduce_equals_local_merge():
+    """Round-3 review item: the ungrouped sketch paths route through a
+    constant-key Dataset.aggregate (tree combine), NOT a driver merge
+    loop. For the order-independent sketches (HLL register max, KMV
+    union, Count-Min add, Misra-Gries when exact) the distributed result
+    must EQUAL a local single-process build over the same rows."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import (
+        CountMinSketch, HllSketch, ThetaSketch, approx_count_distinct,
+        countmin_of, frequent_items, theta_sketch_of)
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 5000, 60_000)
+    df = pd.DataFrame({"v": vals.astype(str)})
+    ds = rd.from_pandas(df).repartition(16)
+
+    # HLL: distributed estimate == local estimate over identical hashes
+    local_hll = HllSketch(14)
+    local_hll.add_hashes(
+        pd.util.hash_pandas_object(df["v"], index=False).to_numpy())
+    assert approx_count_distinct(ds, "v", p=14) == local_hll.estimate()
+
+    # Theta/KMV: identical sorted k-minimum hash sets
+    local_theta = ThetaSketch(512)
+    local_theta.add_hashes(np.unique(
+        pd.util.hash_pandas_object(df["v"], index=False).to_numpy()))
+    dist_theta = theta_sketch_of(ds, "v", k=512)
+    np.testing.assert_array_equal(dist_theta.hashes, local_theta.hashes)
+
+    # Count-Min: identical counter tables (element-wise adds commute)
+    local_cms = CountMinSketch(1024, 3)
+    vc = df["v"].value_counts()
+    local_cms.add_values(pd.Series(vc.index), vc.to_numpy(dtype=np.int64))
+    dist_cms = countmin_of(ds, "v", w=1024, d=3)
+    np.testing.assert_array_equal(dist_cms.table, local_cms.table)
+
+
+def test_frequent_items_exact_when_under_k():
+    """MG with k ≥ #distinct is exact regardless of combine order."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    vals = rng.choice(list("abcdefg"), 20_000, p=[.4, .2, .15, .1, .08, .05, .02])
+    df = pd.DataFrame({"v": vals})
+    out = frequent_items_import()(rd.from_pandas(df).repartition(8), "v", k=16)
+    exp = df["v"].value_counts()
+    got = dict(zip(out["item"], out["est_count"]))
+    assert got == {i: int(c) for i, c in exp.items()}
+
+
+def frequent_items_import():
+    from sous_chef_ray.stages.sketch import frequent_items
+
+    return frequent_items
+
+
+def test_kll_tree_reduce_within_rank_error():
+    """KLL compaction is merge-order dependent, so the tree path is
+    tolerance-checked (rank error ~O(1/k)), not equality-checked."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(100.0, 15.0, 80_000)
+    ds = rd.from_pandas(pd.DataFrame({"x": x})).repartition(12)
+    qs = [0.1, 0.5, 0.9]
+    est = approx_quantiles(ds, "x", qs, k=200)
+    exact = np.quantile(x, qs)
+    # rank-error bound: estimated quantile's true rank within ±2.5% of q
+    ranks = np.searchsorted(np.sort(x), est) / len(x)
+    assert np.all(np.abs(ranks - np.asarray(qs)) < 0.025), (ranks, exact, est)
