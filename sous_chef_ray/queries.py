@@ -428,6 +428,32 @@ def orders_array_per_customer(sf_dir: str):
                      order_by="o_orderkey", name="order_keys", num_buckets=_buckets(sf_dir, "orders"))
 
 
+_STRUCTAGG_SQL = """
+SELECT o_custkey,
+       list(struct_pack(orderkey := o_orderkey, totalprice := o_totalprice)
+            ORDER BY o_orderkey) AS orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("order_struct_per_customer", _STRUCTAGG_SQL)
+def order_struct_per_customer(sf_dir: str):
+    """ARRAY_AGG(OBJECT_CONSTRUCT(...)) emitting a native list<struct>
+    column (SURVEY §2.C6 struct emission; the reference infers these
+    expressions but collapses them to STRING — ref
+    tests/test_snowflake_sources.py:99-106). Exact vs DuckDB
+    list(struct_pack(...))."""
+    from sous_chef_ray.stages.agg import struct_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return struct_agg(
+        orders, "o_custkey",
+        {"orderkey": "o_orderkey", "totalprice": "o_totalprice"},
+        order_by="o_orderkey", name="orders",
+        num_buckets=_buckets(sf_dir, "orders"))
+
+
 _LISTAGG_SQL = """
 SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
   AS statuses

@@ -148,3 +148,24 @@ def test_nth_value_null_when_partition_too_small():
     )
     assert out[out["k"] == "a"]["v_nth3"].tolist() == [30, 30, 30, 30]
     assert out[out["k"] == "b"]["v_nth3"].isna().all()
+
+
+def test_struct_agg_list_of_structs():
+    """SURVEY §2.C6 struct emission: list<struct> per key, ordered."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.agg import struct_agg
+
+    df = pd.DataFrame({
+        "k": ["a", "b", "a", "a", "b"],
+        "x": [3, 1, 1, 2, 2],
+        "y": [30.0, 10.0, 10.0, 20.0, 20.0],
+    })
+    out = struct_agg(rd.from_pandas(df).repartition(3), "k",
+                     {"xx": "x", "yy": "y"}, order_by="x", name="objs",
+                     num_buckets=4)
+    t = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(t["k"]) == ["a", "b"]
+    assert t["objs"][0].tolist() == [
+        {"xx": 1, "yy": 10.0}, {"xx": 2, "yy": 20.0}, {"xx": 3, "yy": 30.0}]
+    assert t["objs"][1].tolist() == [{"xx": 1, "yy": 10.0}, {"xx": 2, "yy": 20.0}]
