@@ -270,3 +270,20 @@ def test_ttl_expiry_yields_nulls(repo):
     out = out.sort_values("event_timestamp").reset_index(drop=True)
     assert not pd.isna(out.loc[0, "total_purchases"])
     assert pd.isna(out.loc[1, "total_purchases"])
+
+
+def test_retail_feature_store_demo():
+    """The ported reference example (examples/retail_feature_store_demo.py,
+    ref examples/retail_feature_store/retail_analytics.py:31-132): two
+    feature views on different cadences feed one service; the retrieval
+    is asserted inside the demo against a DuckDB ASOF oracle."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).parent.parent / "examples" / "retail_feature_store_demo.py"
+    spec = importlib.util.spec_from_file_location("retail_demo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    feats = mod.main()  # raises on any ASOF-oracle mismatch
+    assert len(feats) == 2
+    assert {"total_purchases", "loyalty_points", "tier"} <= set(feats.columns)
