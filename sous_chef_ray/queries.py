@@ -5005,7 +5005,60 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1996-01-01 00:00:00'
 """,
+    # --- joins (round 4): FROM-clause planner ----------------------------
+    # inner equi-join, dim side broadcast (customer ≤ broadcast_rows),
+    # per-side WHERE conjuncts pushed below the join
+    "sql_execute_join_filter": """
+SELECT o.o_orderkey AS ok, c.c_name AS cust_name, o.o_totalprice AS price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 180000 AND c.c_mktsegment = 'BUILDING'
+""",
+    # LEFT OUTER join + aggregate over the preserved side
+    "sql_execute_join_left_agg": """
+SELECT c.c_mktsegment AS seg,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+    # three-way join chain + integer-cents exact aggregate
+    "sql_execute_join_three_way": """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(o.o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+""",
+    # derived table (bounded aggregate subquery) joined as a dim side
+    "sql_execute_join_derived": """
+SELECT c.c_name AS cust_name, t.total_cents AS total_cents
+FROM (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_custkey) t
+JOIN customer c ON t.o_custkey = c.c_custkey
+WHERE t.total_cents > 50000000
+""",
 }
+
+# exercises the HASH join physical plan (broadcast disabled): both sides
+# stream through Ray's hash-partitioned Dataset.join
+_SQL_JOIN_HASH = """
+SELECT l.l_orderkey AS ok, l.l_quantity AS qty, o.o_orderstatus AS st
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 250000
+"""
+
+
+@register("sql_execute_join_hash", _SQL_JOIN_HASH)
+def sql_execute_join_hash(sf_dir: str):
+    """Same compiler contract as the rest of the sql_execute_* family but
+    with ``broadcast_rows=0``, forcing the hash-shuffle join path."""
+    from sous_chef_ray.sqlexec import sql_execute
+
+    return sql_execute(_SQL_JOIN_HASH, sf_dir, broadcast_rows=0)
 
 
 def _register_sql_execute(name: str, sql: str) -> None:
@@ -5030,6 +5083,8 @@ _WINDOW_PRIORITY = [
     # SQL→Ray compiler family (round-4): the SQL string IS the plan
     "sql_execute_pricing_summary", "sql_execute_having_distinct",
     "sql_execute_rank_rownumber", "sql_execute_first_last_runsum",
+    "sql_execute_join_three_way", "sql_execute_join_derived",
+    "sql_execute_join_hash",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",

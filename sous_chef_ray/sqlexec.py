@@ -107,6 +107,7 @@ def tokenize(sql: str) -> List[Tuple[str, str]]:
 @dataclass(frozen=True)
 class Col:
     name: str  # unqualified (last segment), original case
+    qual: Optional[str] = None  # table alias qualifier (lowercase) or None
 
 
 @dataclass(frozen=True)
@@ -188,22 +189,42 @@ class Star:
     pass
 
 
+@dataclass(frozen=True)
+class TableRef:
+    """FROM-clause relation: a base parquet table or a derived table."""
+
+    table: Optional[str]  # parquet table name; None for a derived table
+    alias: str  # effective name (lowercase): explicit alias or table name
+    sub: object = None  # Select, for derived tables
+
+
+@dataclass(frozen=True)
+class JoinSpec:
+    kind: str  # inner | left | right | full | cross
+    ref: TableRef
+    on: object = None  # expr (None for cross)
+
+
 @dataclass
 class Select:
     items: List[Tuple[Optional[str], object]]  # (alias-or-None, expr)
-    table: str
+    frm: TableRef = None
+    joins: List[JoinSpec] = field(default_factory=list)
     where: object = None
     group_by: List[object] = field(default_factory=list)
     having: object = None
     order_by: List[Tuple[object, bool]] = field(default_factory=list)
     limit: Optional[int] = None
 
+    @property
+    def table(self) -> Optional[str]:
+        return self.frm.table if self.frm is not None else None
 
-_KEYWORDS_STOP = {
-    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "AS", "AND",
-    "OR", "NOT", "WHEN", "THEN", "ELSE", "END", "ASC", "DESC", "BY",
-    "IN", "BETWEEN", "LIKE", "IS", "NULL", "OVER", "PARTITION", "ROWS",
-    "UNBOUNDED", "PRECEDING", "CURRENT", "ROW", "DISTINCT", "ON",
+
+# idents that end a table alias position in the FROM clause
+_TABLE_STOP = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "JOIN", "INNER",
+    "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON", "UNION", "AS",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -255,6 +276,61 @@ class _Parser:
 
     # --- statement ---
     def parse_select(self) -> Select:
+        sel = self._select_body()
+        if self.peek()[0] != "eof":
+            raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
+        return sel
+
+    def _parse_table_ref(self) -> TableRef:
+        if self.accept_op("("):
+            sub = self._select_body()
+            self.expect_op(")")
+            self.accept_kw("AS")
+            k, v = self.next()
+            if k != "ident" or v.upper() in _TABLE_STOP:
+                raise ValueError("derived table requires an alias")
+            return TableRef(None, v.lower(), sub)
+        k, name = self.next()
+        if k != "ident":
+            raise ValueError(f"expected table name, got {name!r}")
+        alias = name.lower()
+        if self.accept_kw("AS"):
+            k2, v2 = self.next()
+            if k2 != "ident":
+                raise ValueError(f"expected table alias, got {v2!r}")
+            alias = v2.lower()
+        elif self.peek()[0] == "ident" and self.peek_kw() not in _TABLE_STOP:
+            alias = self.next()[1].lower()
+        return TableRef(name, alias)
+
+    def _parse_joins(self) -> List[JoinSpec]:
+        joins: List[JoinSpec] = []
+        while True:
+            kind = None
+            if self.accept_kw("JOIN"):
+                kind = "inner"
+            elif self.peek_kw() == "INNER" and self.peek_kw(1) == "JOIN":
+                self.i += 2
+                kind = "inner"
+            elif self.peek_kw() in ("LEFT", "RIGHT", "FULL"):
+                k0 = self.peek_kw()
+                off = 2 if self.peek_kw(1) == "OUTER" else 1
+                if self.peek_kw(off) == "JOIN":
+                    self.i += off + 1
+                    kind = k0.lower()
+            elif self.peek_kw() == "CROSS" and self.peek_kw(1) == "JOIN":
+                self.i += 2
+                kind = "cross"
+            if kind is None:
+                return joins
+            ref = self._parse_table_ref()
+            on = None
+            if kind != "cross":
+                self.expect_kw("ON")
+                on = self.parse_expr()
+            joins.append(JoinSpec(kind, ref, on))
+
+    def _select_body(self) -> Select:
         self.expect_kw("SELECT")
         items: List[Tuple[Optional[str], object]] = []
         while True:
@@ -269,10 +345,9 @@ class _Parser:
             if not self.accept_op(","):
                 break
         self.expect_kw("FROM")
-        k, table = self.next()
-        if k != "ident":
-            raise ValueError(f"expected table name, got {table!r}")
-        sel = Select(items=items, table=table)
+        frm = self._parse_table_ref()
+        joins = self._parse_joins()
+        sel = Select(items=items, frm=frm, joins=joins)
         if self.accept_kw("WHERE"):
             sel.where = self.parse_expr()
         if self.accept_kw("GROUP"):
@@ -300,8 +375,6 @@ class _Parser:
             if k != "num":
                 raise ValueError(f"expected LIMIT count, got {v!r}")
             sel.limit = int(v)
-        if self.peek()[0] != "eof":
-            raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
         return sel
 
     # --- expressions (precedence climbing) ---
@@ -523,7 +596,8 @@ class _Parser:
             return fn
         # bare (possibly qualified) column
         self.i += 1
-        return Col(v.split(".")[-1])
+        parts = v.split(".")
+        return Col(parts[-1], parts[-2].lower() if len(parts) > 1 else None)
 
 
 def parse_sql(sql: str) -> Select:
@@ -831,20 +905,6 @@ def _walk(node):
             yield from _walk(v)
 
 
-def _base_columns(sel: Select) -> List[str]:
-    cols = set()
-    nodes = [e for _, e in sel.items]
-    if sel.where is not None:
-        nodes.append(sel.where)
-    nodes.extend(sel.group_by)
-    if sel.having is not None:
-        nodes.append(sel.having)
-    nodes.extend(e for e, _ in sel.order_by)
-    for n in nodes:
-        for sub in _walk(n):
-            if isinstance(sub, Col):
-                cols.add(sub.name)
-    return sorted(cols)
 
 
 def _find(node, kind) -> list:
@@ -931,14 +991,322 @@ def _filter_fn(where):
     return fn
 
 
-def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64):
+# ---------------------------------------------------------------------------
+# FROM-clause planning (base tables, equi-joins, derived tables)
+# ---------------------------------------------------------------------------
+
+
+def _conjuncts(e) -> list:
+    if isinstance(e, Bin) and e.op == "AND":
+        return _conjuncts(e.left) + _conjuncts(e.right)
+    return [e]
+
+
+def _and_all(conds: list):
+    out = conds[0]
+    for c in conds[1:]:
+        out = Bin("AND", out, c)
+    return out
+
+
+def _ref_columns(ref: TableRef, sf_dir: str) -> List[str]:
+    if ref.sub is not None:
+        return [_out_name(a, e) for a, e in ref.sub.items]
+    import pyarrow.parquet as pq
+
+    return list(pq.read_schema(f"{sf_dir}/{ref.table}.parquet").names)
+
+
+def _resolve_col(col: Col, refs, ref_cols) -> Tuple[int, str]:
+    """(qualifier, name) → (relation index, actual schema column name)."""
+    cands = []
+    for i, ref in enumerate(refs):
+        if col.qual is not None and ref.alias != col.qual:
+            continue
+        for n in ref_cols[i]:
+            if n.lower() == col.name.lower():
+                cands.append((i, n))
+                break
+    if not cands:
+        q = f"{col.qual}." if col.qual else ""
+        raise KeyError(f"unknown column {q}{col.name}; relations: "
+                       f"{[r.alias for r in refs]}")
+    if len(cands) > 1:
+        raise ValueError(f"ambiguous column {col.name!r}: add a qualifier")
+    return cands[0]
+
+
+def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
+               broadcast_rows: int):
+    """FROM + WHERE → (Dataset-or-DataFrame, Col-substitution mapping).
+
+    Scale shape:
+      - every relation is read with ``columns=`` pruned to exactly the
+        referenced names + join keys;
+      - single-relation WHERE conjuncts are pushed to their relation's
+        scan (as a pyarrow dataset filter when scan-expressible) — only
+        pushed past null-preserving sides of outer joins;
+      - a small right side (parquet metadata row count ≤
+        ``broadcast_rows``, or a bounded aggregate subquery) joins via
+        stages/join.broadcast_join — ``ray.put`` once, no shuffle of the
+        big side — exactly the dim-table shape the hand-built queries
+        use at 100 TB;
+      - otherwise stages/join.hash_join (Ray's hash-partitioned
+        ``Dataset.join``).  Ray's join keeps the LEFT key name and drops
+        a differently-named right key column, so referenced right keys
+        are re-aliased (inner: substituted with the left key; outer:
+        kept alive via a pre-join copy).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sous_chef_ray.stages.join import broadcast_join, hash_join
+
+    refs = [sel.frm] + [j.ref for j in sel.joins]
+    aliases = [r.alias for r in refs]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError("duplicate table aliases in FROM clause")
+    ref_cols = [_ref_columns(r, sf_dir) for r in refs]
+
+    # resolve every column reference in the statement
+    nodes = [e for _, e in sel.items] + list(sel.group_by)
+    if sel.where is not None:
+        nodes.append(sel.where)
+    if sel.having is not None:
+        nodes.append(sel.having)
+    nodes += [e for e, _ in sel.order_by]
+    nodes += [j.on for j in sel.joins if j.on is not None]
+    resolved: dict = {}
+    for n in nodes:
+        for c in _find(n, Col):
+            if c not in resolved:
+                resolved[c] = _resolve_col(c, refs, ref_cols)
+
+    needed: List[set] = [set() for _ in refs]
+    for c, (i, actual) in resolved.items():
+        needed[i].add(actual)
+
+    # reject cross-relation output-name collisions (same-named equi-join
+    # keys are fine: the join dedups them to one column)
+    same_key_names = set()
+    for j in sel.joins:
+        for conj in _conjuncts(j.on) if j.on is not None else []:
+            if (isinstance(conj, Bin) and conj.op == "="
+                    and isinstance(conj.left, Col)
+                    and isinstance(conj.right, Col)):
+                _, n1 = resolved[conj.left]
+                _, n2 = resolved[conj.right]
+                if n1.lower() == n2.lower():
+                    same_key_names.add(n1.lower())
+    for a in range(len(refs)):
+        for b in range(a + 1, len(refs)):
+            clash = ({n.lower() for n in needed[a]}
+                     & {n.lower() for n in needed[b]}) - same_key_names
+            if clash:
+                raise ValueError(
+                    f"column name collision across joined relations: "
+                    f"{sorted(clash)}; disambiguate via a derived table")
+
+    # relation nullability under the join chain (for WHERE pushdown)
+    nullable = [False] * len(refs)
+    for k, j in enumerate(sel.joins):
+        if j.kind == "left":
+            nullable[k + 1] = True
+        elif j.kind == "right":
+            for i in range(k + 1):
+                nullable[i] = True
+        elif j.kind == "full":
+            for i in range(k + 2):
+                nullable[i] = True
+
+    pushed: List[list] = [[] for _ in refs]
+    residual: list = []
+    if sel.where is not None:
+        for conj in _conjuncts(sel.where):
+            owners = {resolved[c][0] for c in _find(conj, Col)} or {0}
+            o = next(iter(owners))
+            if len(owners) == 1 and not nullable[o]:
+                pushed[o].append(conj)
+            else:
+                residual.append(conj)
+
+    def table_rows(i: int) -> Optional[int]:
+        if refs[i].sub is not None:
+            return None
+        path = f"{sf_dir}/{refs[i].table}.parquet"
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def build_side(i: int):
+        """Relation i as a pruned, filtered Dataset (or DataFrame for a
+        bounded aggregate subquery)."""
+        ref = refs[i]
+        cols = sorted(needed[i])
+        if ref.sub is not None:
+            side = _execute_select(ref.sub, sf_dir, num_buckets,
+                                   broadcast_rows)
+            if isinstance(side, pd.DataFrame):
+                t = pa.Table.from_pandas(side, preserve_index=False)
+                if pushed[i]:
+                    t = _filter_fn(_and_all(pushed[i]))(t)
+                return t.select(cols).to_pandas()
+            side = side.select_columns(cols)
+            if pushed[i]:
+                side = side.map_batches(_filter_fn(_and_all(pushed[i])),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+            return side
+        path = f"{sf_dir}/{ref.table}.parquet"
+        scan_filter = None
+        flt = _and_all(pushed[i]) if pushed[i] else None
+        if flt is not None:
+            try:
+                scan_filter = _to_scan_filter(flt)
+                flt = None
+            except ValueError:
+                pass
+        ds_i = rd.read_parquet(path, columns=cols, filter=scan_filter)
+        if flt is not None:
+            ds_i = ds_i.map_batches(_filter_fn(flt), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        return ds_i
+
+    def build_small(i: int) -> pd.DataFrame:
+        """Small base relation as a bounded in-memory dim table."""
+        t = pq.read_table(f"{sf_dir}/{refs[i].table}.parquet",
+                          columns=sorted(needed[i]))
+        if pushed[i]:
+            t = _filter_fn(_and_all(pushed[i]))(t)
+        return t.to_pandas()
+
+    mapping = {c: Col(actual) for c, (i, actual) in resolved.items()
+               if c != Col(actual)}
+
+    if not sel.joins:
+        side = build_side(0)
+        if residual:  # constant-only conjuncts can land here
+            if isinstance(side, pd.DataFrame):
+                t = _filter_fn(_and_all(residual))(
+                    pa.Table.from_pandas(side, preserve_index=False))
+                side = t.to_pandas()
+            else:
+                side = side.map_batches(_filter_fn(_and_all(residual)),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+        return side, mapping
+
+    left = build_side(0)
+    if isinstance(left, pd.DataFrame):
+        left = rd.from_pandas(left)
+    for k, j in enumerate(sel.joins):
+        ri = k + 1
+        kind = j.kind
+        eq: List[Tuple[str, str]] = []
+        resid_on: list = []
+        for conj in _conjuncts(j.on) if j.on is not None else []:
+            done = False
+            if (isinstance(conj, Bin) and conj.op == "="
+                    and isinstance(conj.left, Col)
+                    and isinstance(conj.right, Col)):
+                i1, n1 = resolved[conj.left]
+                i2, n2 = resolved[conj.right]
+                if i1 < ri and i2 == ri:
+                    eq.append((n1, n2))
+                    done = True
+                elif i2 < ri and i1 == ri:
+                    eq.append((n2, n1))
+                    done = True
+            if not done:
+                resid_on.append(conj)
+        if kind != "cross" and not eq:
+            raise ValueError("JOIN ON requires at least one equi-key "
+                             "(a.x = b.y) condition")
+        if resid_on and kind != "inner":
+            raise ValueError("non-equi ON conditions are only supported "
+                             "for INNER JOIN")
+
+        right_side = build_side(ri) if refs[ri].sub is not None else None
+        dim = None
+        if kind in ("inner", "left", "cross"):
+            if isinstance(right_side, pd.DataFrame):
+                dim = right_side
+            elif right_side is None:
+                nrows = table_rows(ri)
+                if nrows is not None and nrows <= broadcast_rows:
+                    dim = build_small(ri)
+        if dim is not None:
+            if kind == "cross":
+                left = broadcast_join(left, dim, on=None, how="cross")
+            else:
+                left = broadcast_join(
+                    left, dim, on=[p[0] for p in eq],
+                    right_on=[p[1] for p in eq],
+                    how={"inner": "inner", "left": "left"}[kind])
+        else:
+            if kind == "cross":
+                raise ValueError("CROSS JOIN right side too large to "
+                                 "broadcast")
+            right = right_side if right_side is not None else build_side(ri)
+            if isinstance(right, pd.DataFrame):
+                right = rd.from_pandas(right)
+            for n_l, n_r in eq:
+                if n_l != n_r and n_r in needed[ri]:
+                    if kind == "inner":
+                        repl = Col(n_l)
+                    else:
+                        keep = f"__jk_{ri}_{n_r}"
+                        right = right.map_batches(
+                            lambda t, _n=n_r, _k=keep:
+                                t.append_column(_k, t[_n]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+                        repl = Col(keep)
+                    for c, (i_, a_) in resolved.items():
+                        if i_ == ri and a_ == n_r:
+                            mapping[c] = repl
+            # Ray's hash-shuffle join spawns aggregator actors per
+            # partition; far more partitions than CPUs deadlocks actor
+            # scheduling on small clusters (observed: 64 partitions on a
+            # 4-CPU local cluster never schedules). Cap at 2× CPUs.
+            import ray as _ray
+
+            cpus = (int(_ray.cluster_resources().get("CPU", 8))
+                    if _ray.is_initialized() else 8)
+            left = hash_join(
+                left, right, on=[p[0] for p in eq],
+                right_on=[p[1] for p in eq],
+                join_type={"inner": "inner", "left": "left_outer",
+                           "right": "right_outer",
+                           "full": "full_outer"}[kind],
+                num_partitions=max(2, min(num_buckets, cpus * 2)))
+        if resid_on:
+            left = left.map_batches(_filter_fn(_and_all(resid_on)),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    if residual:
+        left = left.map_batches(_filter_fn(_and_all(residual)),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    return left, mapping
+
+
+def _rewrite_select(sel: Select, mapping: dict) -> Select:
+    """Substitute resolved/qualified Cols with their post-join names; the
+    WHERE clause has already been applied by the planner."""
+    return Select(
+        items=[(a, _replace(e, mapping)) for a, e in sel.items],
+        frm=sel.frm, joins=sel.joins, where=None,
+        group_by=[_replace(g, mapping) for g in sel.group_by],
+        having=(_replace(sel.having, mapping)
+                if sel.having is not None else None),
+        order_by=[(_replace(e, mapping), d) for e, d in sel.order_by],
+        limit=sel.limit)
+
+
+def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64,
+                broadcast_rows: int = 200_000):
     """Compile + run a tier-C SELECT over ``{sf_dir}/{table}.parquet``.
 
     Returns a streaming ``ray.data.Dataset`` for projection-only
     statements, a bounded ``pandas.DataFrame`` for aggregates (one row
     per group — same contract as the hand-built queries)."""
-    import ray.data as rd
-
     from sous_chef_ray.validators import SQLValidator
 
     # gate on the ported reference validator first: this is the bridge
@@ -948,22 +1316,17 @@ def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64):
         raise ValueError("query rejected by SQL validator")
 
     sel = parse_sql(sql)
-    path = f"{sf_dir}/{sel.table}.parquet"
-    cols = _base_columns(sel)
+    return _execute_select(sel, sf_dir, num_buckets, broadcast_rows)
 
-    scan_filter = None
-    runtime_where = sel.where
-    if sel.where is not None:
-        try:
-            scan_filter = _to_scan_filter(sel.where)
-            runtime_where = None
-        except ValueError:
-            pass
 
-    ds = rd.read_parquet(path, columns=cols, filter=scan_filter)
-    if runtime_where is not None:
-        ds = ds.map_batches(_filter_fn(runtime_where), batch_format="pyarrow",
-                            zero_copy_batch=True)
+def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
+                    broadcast_rows: int):
+    import ray.data as rd
+
+    ds, mapping = _plan_from(sel, sf_dir, num_buckets, broadcast_rows)
+    sel = _rewrite_select(sel, mapping)
+    if isinstance(ds, pd.DataFrame):
+        ds = rd.from_pandas(ds)
 
     aggs = []
     for _, e in sel.items:

@@ -17,7 +17,7 @@ from sous_chef_ray.sqlexec import (
     parse_sql, sql_execute)
 
 SF = "/root/testdata/sf0.001"
-TABLES = "orders lineitem events customer nation".split()
+TABLES = "orders lineitem events customer nation region".split()
 
 
 @pytest.fixture(scope="module")
@@ -91,7 +91,28 @@ def test_parse_rejects_trailing_garbage():
     with pytest.raises(ValueError):
         parse_sql("SELECT a FROM t WHERE")
     with pytest.raises(ValueError):
-        parse_sql("SELECT a FROM t JOIN u ON a = b")
+        parse_sql("SELECT a FROM t alias 42")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t JOIN u ON")
+
+
+def test_parse_join_shapes():
+    sel = parse_sql(
+        "SELECT o.o_orderkey AS ok FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "LEFT OUTER JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+        "CROSS JOIN region")
+    assert sel.frm.table == "orders" and sel.frm.alias == "o"
+    assert [j.kind for j in sel.joins] == ["inner", "left", "cross"]
+    assert sel.joins[1].ref.alias == "n"
+    assert sel.joins[2].ref.alias == "region" and sel.joins[2].on is None
+    assert sel.items[0][1] == Col("o_orderkey", "o")
+    # derived table
+    sel2 = parse_sql(
+        "SELECT t.total AS total FROM (SELECT o_custkey AS k, "
+        "SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey) t")
+    assert sel2.frm.table is None and sel2.frm.alias == "t"
+    assert sel2.frm.sub.table == "orders"
 
 
 # ---------------------------------------------------------------------------
@@ -187,3 +208,83 @@ def test_streaming_projection_returns_dataset():
     out = sql_execute("SELECT o_orderkey, o_totalprice * 2 AS dbl FROM orders", SF)
     assert isinstance(out, rd.Dataset)  # projection stays streaming
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# joins (round 4): SQL string is both the Ray plan and the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def test_join_inner_broadcast(con):
+    # customer (small at sf0.001) broadcasts; orders streams
+    run_both(con, """
+SELECT o.o_orderkey AS ok, c.c_name AS name, o.o_totalprice AS price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 180000 AND c.c_mktsegment = 'BUILDING'""")
+
+
+def test_join_inner_hash_large(con):
+    # force the hash path: broadcast_rows=0 disables dim broadcast
+    import ray.data as rd
+    from sous_chef_ray.sqlexec import sql_execute as ex
+
+    sql = """
+SELECT l.l_orderkey AS ok, l.l_quantity AS qty, o.o_orderstatus AS st
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 250000"""
+    got = ex(sql, SF, broadcast_rows=0)
+    assert isinstance(got, rd.Dataset)
+    got = got.to_pandas()
+    exp = con.execute(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    e = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=True)
+
+
+def test_join_left_outer_with_aggregate(con):
+    run_both(con, """
+SELECT c.c_mktsegment AS seg, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment""")
+
+
+def test_join_three_way_group(con):
+    run_both(con, """
+SELECT n.n_name AS nation, CAST(SUM(CAST(o.o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name""")
+
+
+def test_join_derived_table(con):
+    run_both(con, """
+SELECT c.c_name AS name, t.total_cents AS total_cents
+FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_custkey) t
+JOIN customer c ON t.o_custkey = c.c_custkey
+WHERE t.total_cents > 50000000""")
+
+
+def test_join_cross_small(con):
+    run_both(con, """
+SELECT n.n_name AS nation, r.r_name AS region_name
+FROM nation n CROSS JOIN region r
+WHERE r.r_regionkey = 0""")
+
+
+def test_join_errors():
+    with pytest.raises(ValueError):
+        sql_execute("SELECT o.o_orderkey AS ok FROM orders o "
+                    "JOIN customer c ON o.o_totalprice > c.c_acctbal", SF)
+    with pytest.raises(ValueError):
+        # collision: both orders aliases expose o_orderkey
+        sql_execute("SELECT a.o_orderkey AS x, b.o_orderkey AS y "
+                    "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey",
+                    SF)
+    with pytest.raises(KeyError):
+        sql_execute("SELECT z.nope AS x FROM orders z", SF)
