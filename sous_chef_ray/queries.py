@@ -5041,6 +5041,29 @@ FROM (SELECT o_custkey,
 JOIN customer c ON t.o_custkey = c.c_custkey
 WHERE t.total_cents > 50000000
 """,
+    # scalar subquery → Lit at plan time (bounded 1×1)
+    "sql_execute_scalar_subquery": """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) AS a FROM orders) * 1.8
+""",
+    # IN (subquery) → distributed distinct + broadcast semi filter
+    "sql_execute_in_subquery": """
+SELECT c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+    # moving frame: prefix-sum rolling kernel, exact integer cents
+    "sql_execute_moving_frame": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv3_cents
+FROM events
+""",
+    # UNION DISTINCT (hash aggregate over all columns) + trailing ORDER BY
+    "sql_execute_union_distinct": """
+SELECT o_orderstatus AS s FROM orders UNION
+SELECT l_returnflag AS s FROM lineitem ORDER BY s
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides
@@ -5084,7 +5107,8 @@ _WINDOW_PRIORITY = [
     "sql_execute_pricing_summary", "sql_execute_having_distinct",
     "sql_execute_rank_rownumber", "sql_execute_first_last_runsum",
     "sql_execute_join_three_way", "sql_execute_join_derived",
-    "sql_execute_join_hash",
+    "sql_execute_join_hash", "sql_execute_in_subquery",
+    "sql_execute_moving_frame",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",

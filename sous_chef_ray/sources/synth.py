@@ -22,7 +22,8 @@ SOURCE_P = np.array([0.7, 0.15, 0.1, 0.05])
 BASE_TS_US = np.int64(1704067200_000_000)  # 2024-01-01T00:00:00Z in microseconds
 
 
-def token_table(n: int, seed: int = 42, n_docs: int | None = None) -> pa.Table:
+def token_table(n: int, seed: int = 42, n_docs: int | None = None,
+                ts_offset_rows: int = 0) -> pa.Table:
     """Generate the F1 pre-tokenized sequence table as one Arrow table.
 
     Columns: doc_id:string, tokens:list<int32>, n_tok:int32, source:string,
@@ -49,7 +50,8 @@ def token_table(n: int, seed: int = 42, n_docs: int | None = None) -> pa.Table:
 
     source = SOURCES[rng.choice(len(SOURCES), n, p=SOURCE_P)]
 
-    event_ts = BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000_000
+    event_ts = BASE_TS_US + (
+        np.int64(ts_offset_rows) + np.arange(n, dtype=np.int64)) * 1_000_000
     # inject ties: every 50th row copies the previous row's key AND ts
     tie_idx = np.arange(50, n, 50)
     if len(tie_idx):
@@ -117,16 +119,40 @@ def probe_docs(n: int, seed: int = 9, words_per_doc: int = 120, vocab: int = 200
     )
 
 
-def write_token_dataset(path: str, n: int, seed: int = 42, shards: int = 8) -> None:
-    """Write the F1 table as a sharded Parquet directory (bench input)."""
+def write_token_dataset(path: str, n: int, seed: int = 42, shards: int = 8,
+                        chunk_rows: int | None = None) -> None:
+    """Write the F1 table as a sharded Parquet directory (bench input).
+
+    Default (``chunk_rows=None``): one in-memory table sliced into
+    ``shards`` files — kept byte-identical across rounds so headline
+    numbers stay comparable at the 16M bench point.
+
+    ``chunk_rows=K``: STREAMING generation for 10×+ scale points (the
+    160M sf1 proof) — each chunk of K rows is generated independently
+    (per-chunk seed, event_ts offset by global row index, doc-id space
+    fixed at the GLOBAL n//20 so hot keys stay globally hot) and written
+    as its own file, bounding driver memory at one chunk instead of the
+    whole table."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    tbl = token_table(n, seed=seed)
-    per = (len(tbl) + shards - 1) // shards
-    for i in range(shards):
-        part = tbl.slice(i * per, per)
-        if len(part):
-            pq.write_table(part, os.path.join(path, f"part-{i:05d}.parquet"))
+    if chunk_rows is None:
+        tbl = token_table(n, seed=seed)
+        per = (len(tbl) + shards - 1) // shards
+        for i in range(shards):
+            part = tbl.slice(i * per, per)
+            if len(part):
+                pq.write_table(part, os.path.join(path, f"part-{i:05d}.parquet"))
+        return
+    k_global = max(1, n // 20)
+    i = 0
+    off = 0
+    while off < n:
+        m = min(chunk_rows, n - off)
+        part = token_table(m, seed=seed + i, n_docs=k_global,
+                           ts_offset_rows=off)
+        pq.write_table(part, os.path.join(path, f"part-{i:05d}.parquet"))
+        off += m
+        i += 1

@@ -189,6 +189,37 @@ class Star:
     pass
 
 
+@dataclass(eq=False)  # identity hash: holds an unhashable Select
+class ScalarSub:
+    """Uncorrelated scalar subquery — materialized to a Lit at plan time
+    (bounded: one row, one column)."""
+
+    sel: object  # Select
+
+
+@dataclass(eq=False)
+class InSubquery:
+    """x [NOT] IN (SELECT ...) — materialized to an InSet at plan time."""
+
+    operand: object
+    sel: object  # Select
+    negated: bool = False
+
+
+@dataclass(eq=False)
+class InSet:
+    """Broadcast semi/anti key-set filter (the Ray-native IN-subquery
+    plan): the subquery's distinct keys live in the object store ONCE
+    (ray.put); each filter task fetches the ref from shared memory —
+    never re-shipped per batch. SQL three-valued logic: NULL operand →
+    NULL; a NULL in the set makes NOT IN never-true."""
+
+    operand: object
+    keys: object  # ray.ObjectRef of a pa.Array (nulls dropped)
+    negated: bool = False
+    set_has_null: bool = False
+
+
 @dataclass(frozen=True)
 class TableRef:
     """FROM-clause relation: a base parquet table or a derived table."""
@@ -219,6 +250,17 @@ class Select:
     @property
     def table(self) -> Optional[str]:
         return self.frm.table if self.frm is not None else None
+
+
+@dataclass
+class Compound:
+    """UNION [ALL] chain; trailing ORDER BY / LIMIT apply to the union
+    (homogeneous chains only — mixed ALL/DISTINCT is rejected)."""
+
+    selects: List[Select]
+    distinct: bool
+    order_by: List[Tuple[object, bool]] = field(default_factory=list)
+    limit: Optional[int] = None
 
 
 # idents that end a table alias position in the FROM clause
@@ -280,6 +322,33 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
         return sel
+
+    def parse_statement(self):
+        """SELECT [UNION [ALL] SELECT ...] → Select or Compound."""
+        sels = [self._select_body()]
+        alls: List[bool] = []
+        while self.accept_kw("UNION"):
+            all_ = self.accept_kw("ALL")
+            if not all_:
+                self.accept_kw("DISTINCT")
+            alls.append(all_)
+            sels.append(self._select_body())
+        if self.peek()[0] != "eof":
+            raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
+        if len(sels) == 1:
+            return sels[0]
+        if len(set(alls)) > 1:
+            raise ValueError("mixed UNION ALL / UNION DISTINCT chains are "
+                             "not supported")
+        for s in sels[:-1]:
+            if s.order_by or s.limit is not None:
+                raise ValueError("ORDER BY / LIMIT only allowed after the "
+                                 "last UNION branch (applies to the union)")
+        last = sels[-1]
+        order_by, limit = last.order_by, last.limit
+        last.order_by, last.limit = [], None
+        return Compound(sels, distinct=not alls[0], order_by=order_by,
+                        limit=limit)
 
     def _parse_table_ref(self) -> TableRef:
         if self.accept_op("("):
@@ -411,6 +480,10 @@ class _Parser:
             return Bin(op, node, self._add())
         if self.accept_kw("IN"):
             self.expect_op("(")
+            if self.peek_kw() == "SELECT":
+                sub = self._select_body()
+                self.expect_op(")")
+                return InSubquery(node, sub, negated)
             items = [self.parse_expr()]
             while self.accept_op(","):
                 items.append(self.parse_expr())
@@ -483,6 +556,10 @@ class _Parser:
             return Lit(v, "str")
         if k == "op" and v == "(":
             self.i += 1
+            if self.peek_kw() == "SELECT":
+                sub = self._select_body()
+                self.expect_op(")")
+                return ScalarSub(sub)
             node = self.parse_expr()
             self.expect_op(")")
             return node
@@ -577,16 +654,38 @@ class _Parser:
                     order = self._parse_order_list()
                 if self.accept_kw("ROWS"):
                     if self.accept_kw("BETWEEN"):
-                        self.expect_kw("UNBOUNDED")
-                        self.expect_kw("PRECEDING")
+                        if self.accept_kw("UNBOUNDED"):
+                            self.expect_kw("PRECEDING")
+                            lo = None
+                        else:
+                            k2, v2 = self.next()
+                            if k2 != "num":
+                                raise ValueError("expected frame bound")
+                            lo = int(v2)
+                            self.expect_kw("PRECEDING")
                         self.expect_kw("AND")
                         if self.accept_kw("UNBOUNDED"):
                             self.expect_kw("FOLLOWING")
-                            frame = "full_partition"
-                        else:
-                            self.expect_kw("CURRENT")
+                            hi = None
+                        elif self.accept_kw("CURRENT"):
                             self.expect_kw("ROW")
+                            hi = 0
+                        else:
+                            k3, v3 = self.next()
+                            if k3 != "num":
+                                raise ValueError("expected frame bound")
+                            hi = int(v3)
+                            self.expect_kw("FOLLOWING")
+                        if lo is None and hi is None:
+                            frame = "full_partition"
+                        elif lo is None and hi == 0:
                             frame = "rows_unbounded_preceding"
+                        elif lo is not None:
+                            frame = ("rows", lo, hi)
+                        else:
+                            raise ValueError("UNBOUNDED PRECEDING with a "
+                                             "numeric upper bound is not "
+                                             "supported")
                     else:
                         self.expect_kw("UNBOUNDED")
                         self.expect_kw("PRECEDING")
@@ -737,6 +836,21 @@ def eval_expr(node, t: pa.Table):
         x = eval_expr(node.operand, t)
         out = pc.match_like(x, node.pattern)
         return pc.invert(out) if node.negated else out
+    if isinstance(node, InSet):
+        import ray as _ray
+
+        x = eval_expr(node.operand, t)
+        keys = node.keys
+        if isinstance(keys, _ray.ObjectRef):
+            keys = _ray.get(keys)  # shared-memory fetch, once per worker
+        if node.negated and node.set_has_null:
+            # SQL: x NOT IN (… NULL …) is never TRUE
+            return pa.nulls(len(t), pa.bool_())
+        out = pc.is_in(x, value_set=keys)
+        if node.negated:
+            out = pc.invert(out)
+        # NULL operand → NULL (pc.is_in maps null → false)
+        return pc.if_else(pc.is_null(x), pa.scalar(None, pa.bool_()), out)
     if isinstance(node, Func):
         return _eval_func(node, t, sqlfns)
     raise ValueError(f"cannot evaluate node {node!r}")
@@ -1036,6 +1150,102 @@ def _resolve_col(col: Col, refs, ref_cols) -> Tuple[int, str]:
     return cands[0]
 
 
+def _lit_from_py(v) -> Lit:
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return Lit(None, "null")
+    if isinstance(v, (bool, np.bool_)):
+        return Lit(bool(v), "bool")
+    if isinstance(v, (int, np.integer)):
+        return Lit(int(v), "int")
+    if isinstance(v, (float, np.floating)):
+        return Lit(float(v), "float")
+    if isinstance(v, (pd.Timestamp, np.datetime64)):
+        return Lit(np.datetime64(v, "us"), "timestamp")
+    return Lit(str(v), "str")
+
+
+def _scalar_sub_lit(sub: Select, sf_dir: str, num_buckets: int,
+                    broadcast_rows: int) -> Lit:
+    """Run an uncorrelated scalar subquery (bounded by contract) → Lit."""
+    import ray.data as rd
+
+    res = _execute_select(sub, sf_dir, num_buckets, broadcast_rows)
+    if isinstance(res, rd.Dataset):
+        res = res.limit(2).to_pandas()
+    if res.shape[1] != 1:
+        raise ValueError("scalar subquery must select exactly one column")
+    if len(res) == 0:
+        return Lit(None, "null")
+    if len(res) > 1:
+        raise ValueError("scalar subquery returned more than one row")
+    return _lit_from_py(res.iloc[0, 0])
+
+
+def _in_subquery_set(node: InSubquery, sf_dir: str, num_buckets: int,
+                     broadcast_rows: int) -> InSet:
+    """x [NOT] IN (SELECT k …) → broadcast key-set filter.  The distinct
+    key reduction is DISTRIBUTED (per-block pc.unique inside map_batches
+    before Dataset.unique — stages/join.distinct_key_array); only the
+    distinct set reaches the driver, then ray.put ONCE."""
+    import ray
+    import ray.data as rd
+
+    from sous_chef_ray.stages.join import distinct_key_array
+
+    res = _execute_select(node.sel, sf_dir, num_buckets, broadcast_rows)
+    if isinstance(res, pd.DataFrame):
+        if res.shape[1] != 1:
+            raise ValueError("IN subquery must select exactly one column")
+        arr = pa.Array.from_pandas(res.iloc[:, 0])
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.unique(arr)
+    else:
+        names = res.schema().names
+        if len(names) != 1:
+            raise ValueError("IN subquery must select exactly one column")
+        arr = distinct_key_array(res, names[0])
+    has_null = arr.null_count > 0
+    arr = arr.drop_null()
+    return InSet(node.operand, ray.put(arr), node.negated, has_null)
+
+
+def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
+                            broadcast_rows: int) -> Select:
+    """Replace ScalarSub → Lit and InSubquery → InSet throughout the
+    statement's expressions (uncorrelated subqueries only — a correlated
+    column fails resolution inside the subquery's own plan)."""
+    repl: dict = {}
+    targets = [e for _, e in sel.items] + list(sel.group_by)
+    if sel.where is not None:
+        targets.append(sel.where)
+    if sel.having is not None:
+        targets.append(sel.having)
+    targets += [e for e, _ in sel.order_by]
+    targets += [j.on for j in sel.joins if j.on is not None]
+    for n in targets:
+        for s in _walk(n):
+            if isinstance(s, ScalarSub) and s not in repl:
+                repl[s] = _scalar_sub_lit(s.sel, sf_dir, num_buckets,
+                                          broadcast_rows)
+            elif isinstance(s, InSubquery) and s not in repl:
+                repl[s] = _in_subquery_set(s, sf_dir, num_buckets,
+                                           broadcast_rows)
+    if not repl:
+        return sel
+    return Select(
+        items=[(a, _replace(e, repl)) for a, e in sel.items],
+        frm=sel.frm,
+        joins=[JoinSpec(j.kind, j.ref,
+                        _replace(j.on, repl) if j.on is not None else None)
+               for j in sel.joins],
+        where=_replace(sel.where, repl) if sel.where is not None else None,
+        group_by=[_replace(g, repl) for g in sel.group_by],
+        having=_replace(sel.having, repl) if sel.having is not None else None,
+        order_by=[(_replace(e, repl), d) for e, d in sel.order_by],
+        limit=sel.limit)
+
+
 def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                broadcast_rows: int):
     """FROM + WHERE → (Dataset-or-DataFrame, Col-substitution mapping).
@@ -1156,17 +1366,21 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                                         zero_copy_batch=True)
             return side
         path = f"{sf_dir}/{ref.table}.parquet"
-        scan_filter = None
-        flt = _and_all(pushed[i]) if pushed[i] else None
-        if flt is not None:
+        # partial pushdown: each conjunct lands in the scan when
+        # scan-expressible; only the rest become a runtime filter
+        scan_parts, rt_parts = [], []
+        for conj in pushed[i]:
             try:
-                scan_filter = _to_scan_filter(flt)
-                flt = None
+                scan_parts.append(_to_scan_filter(conj))
             except ValueError:
-                pass
+                rt_parts.append(conj)
+        scan_filter = None
+        for sp in scan_parts:
+            scan_filter = sp if scan_filter is None else (scan_filter & sp)
         ds_i = rd.read_parquet(path, columns=cols, filter=scan_filter)
-        if flt is not None:
-            ds_i = ds_i.map_batches(_filter_fn(flt), batch_format="pyarrow",
+        if rt_parts:
+            ds_i = ds_i.map_batches(_filter_fn(_and_all(rt_parts)),
+                                    batch_format="pyarrow",
                                     zero_copy_batch=True)
         return ds_i
 
@@ -1315,14 +1529,52 @@ def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64,
     if not SQLValidator.validate_sql(sql):
         raise ValueError("query rejected by SQL validator")
 
-    sel = parse_sql(sql)
-    return _execute_select(sel, sf_dir, num_buckets, broadcast_rows)
+    stmt = _Parser(sql).parse_statement()
+    if isinstance(stmt, Compound):
+        return _execute_compound(stmt, sf_dir, num_buckets, broadcast_rows)
+    return _execute_select(stmt, sf_dir, num_buckets, broadcast_rows)
+
+
+def _execute_compound(comp: Compound, sf_dir: str, num_buckets: int,
+                      broadcast_rows: int):
+    """UNION [ALL]: plan each branch, Dataset.union, optional distinct
+    (hash aggregate over all columns — one shuffle), trailing ORDER BY /
+    LIMIT on the combined stream."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    names = None
+    parts = []
+    for s in comp.selects:
+        p = _execute_select(s, sf_dir, num_buckets, broadcast_rows)
+        if isinstance(p, pd.DataFrame):
+            p = rd.from_pandas(p)
+        cols = p.schema().names
+        if names is None:
+            names = cols
+        elif cols != names:
+            raise ValueError(f"UNION branches must produce identical "
+                             f"column names: {names} vs {cols}")
+        parts.append(p)
+    out = parts[0].union(*parts[1:])
+    if comp.distinct:
+        out = out.groupby(names).aggregate(Count(alias_name="__n"))
+        out = out.map_batches(lambda t: t.drop_columns(["__n"]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    if comp.order_by:
+        named = [(n, Col(n)) for n in names]
+        keys = [_order_key(named, e) for e, _ in comp.order_by]
+        out = out.sort(keys, descending=[d for _, d in comp.order_by])
+    if comp.limit is not None:
+        out = out.limit(comp.limit)
+    return out
 
 
 def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
                     broadcast_rows: int):
     import ray.data as rd
 
+    sel = _materialize_subqueries(sel, sf_dir, num_buckets, broadcast_rows)
     ds, mapping = _plan_from(sel, sf_dir, num_buckets, broadcast_rows)
     sel = _rewrite_select(sel, mapping)
     if isinstance(ds, pd.DataFrame):
@@ -1601,6 +1853,37 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
                 raise ValueError("running SUM with DESC unsupported")
             out = with_running_sum(out, part_cols, order_cols, arg_col,
                                    name=out_col, num_buckets=num_buckets)
+        elif (fname in ("SUM", "AVG", "COUNT")
+              and isinstance(w.frame, tuple) and w.frame[0] == "rows"):
+            # moving frame: ROWS BETWEEN n PRECEDING AND {CURRENT ROW |
+            # m FOLLOWING} → prefix-sum rolling kernel (one shuffle)
+            from sous_chef_ray.stages.window import with_rolling_sum_count
+
+            if any(descs):
+                raise ValueError("moving frames with DESC order unsupported")
+            if arg_col is None:
+                raise ValueError(f"moving-frame {fname} needs a column "
+                                 "argument (COUNT(*) unsupported)")
+            lo, hi = w.frame[1], w.frame[2]
+            sum_nm = out_col if fname == "SUM" else f"{out_col}_s"
+            cnt_nm = out_col if fname == "COUNT" else f"{out_col}_n"
+            if fname == "AVG":
+                sum_nm, cnt_nm = f"{out_col}_s", f"{out_col}_n"
+            out = with_rolling_sum_count(
+                out, part_cols, order_cols, arg_col, window=lo + 1,
+                following=hi, sum_name=sum_nm, cnt_name=cnt_nm,
+                num_buckets=num_buckets)
+            if fname == "AVG":
+                def _div(t: pa.Table, _s=sum_nm, _n=cnt_nm, _o=out_col):
+                    v = pc.divide(pc.cast(t[_s], pa.float64()),
+                                  pc.cast(t[_n], pa.float64()))
+                    return t.append_column(_o, v).drop_columns([_s, _n])
+
+                out = out.map_batches(_div, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            else:
+                out = out.drop_columns(
+                    [cnt_nm if fname == "SUM" else sum_nm])
         else:
             raise ValueError(f"unsupported window function {fname} "
                              f"(frame={w.frame})")

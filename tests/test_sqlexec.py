@@ -288,3 +288,56 @@ def test_join_errors():
                     SF)
     with pytest.raises(KeyError):
         sql_execute("SELECT z.nope AS x FROM orders z", SF)
+
+
+# ---------------------------------------------------------------------------
+# subqueries, moving frames, UNION (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_scalar_subquery(con):
+    run_both(con, "SELECT o_orderkey, o_totalprice FROM orders "
+                  "WHERE o_totalprice > (SELECT AVG(o_totalprice) AS a "
+                  "FROM orders) * 1.8")
+
+
+def test_in_subquery_semi_anti(con):
+    run_both(con, "SELECT c_name, c_acctbal FROM customer WHERE c_custkey "
+                  "IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)")
+    run_both(con, "SELECT c_name, c_acctbal FROM customer WHERE c_custkey "
+                  "NOT IN (SELECT o_custkey FROM orders "
+                  "WHERE o_totalprice > 450000)")
+
+
+def test_moving_frames(con):
+    run_both(con, """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv3_cents
+FROM events""")
+    run_both(con, """
+SELECT event_id,
+       AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS mavg,
+       CAST(COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS mcnt
+FROM events""")
+
+
+def test_union_all_and_distinct(con):
+    run_both(con, "SELECT o_orderkey AS k, 'ord' AS src FROM orders "
+                  "WHERE o_totalprice > 290000 UNION ALL "
+                  "SELECT l_orderkey AS k, 'line' AS src FROM lineitem "
+                  "WHERE l_quantity = 50")
+    run_both(con, "SELECT o_orderstatus AS s FROM orders UNION "
+                  "SELECT l_returnflag AS s FROM lineitem ORDER BY s")
+
+
+def test_union_rejects_mixed_and_mismatched():
+    with pytest.raises(ValueError):
+        sql_execute("SELECT a AS x FROM t UNION SELECT a AS x FROM t "
+                    "UNION ALL SELECT a AS x FROM t", SF)
+    with pytest.raises(ValueError):
+        sql_execute("SELECT o_orderkey AS a FROM orders UNION ALL "
+                    "SELECT l_orderkey AS b FROM lineitem", SF)
