@@ -5064,6 +5064,22 @@ FROM events
 SELECT o_orderstatus AS s FROM orders UNION
 SELECT l_returnflag AS s FROM lineitem ORDER BY s
 """,
+    # exact quantile aggregates → stages/agg.group_quantile[_disc]
+    "sql_execute_quantiles": """
+SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty,
+       QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price,
+       QUANTILE_DISC(l_quantity, 0.9) AS p90_qty_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    # NTILE / PERCENT_RANK / CUME_DIST → stages/window.with_ntile_pct
+    "sql_execute_ntile_pct": """
+SELECT event_id,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY value) AS quartile,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cd
+FROM events
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides

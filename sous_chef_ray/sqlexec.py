@@ -269,7 +269,9 @@ _TABLE_STOP = {
     "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON", "UNION", "AS",
 }
 
-_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
+            "MEDIAN", "QUANTILE_CONT", "QUANTILE_DISC"}
+_QUANTILE_FNS = {"MEDIAN", "QUANTILE_CONT", "QUANTILE_DISC"}
 _WIN_FNS = {
     "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
     "FIRST_VALUE", "LAST_VALUE", "SUM", "COUNT", "AVG",
@@ -1656,7 +1658,8 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         raise ValueError("only COUNT(DISTINCT x) is supported")
     if len(distinct_aggs) > 1:
         raise ValueError("at most one COUNT(DISTINCT x) per query")
-    plain = [a for a in uniq if not a.distinct]
+    q_aggs = [a for a in uniq if not a.distinct and a.name in _QUANTILE_FNS]
+    plain = [a for a in uniq if not a.distinct and a.name not in _QUANTILE_FNS]
 
     proj: List[Tuple[str, object]] = list(zip(key_names, key_exprs))
     ray_aggs = []
@@ -1693,9 +1696,41 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         d = distinct_aggs[0]
         agg_col[d] = "__aggd"
         proj.append(("__aggd_in", d.args[0]))
+    for i, a in enumerate(q_aggs):
+        agg_col[a] = f"__qa{i}"
+        proj.append((f"__qa{i}_in", a.args[0]))
 
     slim = ds.map_batches(_project_fn(proj), batch_format="pyarrow",
                           zero_copy_batch=True)
+
+    # exact quantiles (MEDIAN / QUANTILE_CONT / QUANTILE_DISC): bucketed
+    # partition_apply per key group (stages/agg), merged onto the bounded
+    # post-aggregate table
+    q_tables = []
+    if q_aggs:
+        from sous_chef_ray.stages.agg import group_quantile, group_quantile_disc
+
+        s2 = slim
+        qkeys = key_names
+        if not key_names:
+            s2 = slim.map_batches(
+                lambda t: t.append_column(
+                    "__g", pa.array(np.zeros(len(t), np.int8))),
+                batch_format="pyarrow")
+            qkeys = ["__g"]
+        for i, a in enumerate(q_aggs):
+            if a.name == "MEDIAN":
+                q = 0.5
+            else:
+                if len(a.args) != 2 or not isinstance(a.args[1], Lit):
+                    raise ValueError(f"{a.name} needs a literal quantile "
+                                     "argument")
+                q = float(a.args[1].value)
+            fn = (group_quantile_disc if a.name == "QUANTILE_DISC"
+                  else group_quantile)
+            qt = fn(s2, qkeys, f"__qa{i}_in", q=q, name=f"__qa{i}",
+                    num_buckets=num_buckets).to_pandas()
+            q_tables.append(qt)
 
     if not key_names:
         # global aggregate: Ray needs a groupby key → constant key column
@@ -1705,14 +1740,25 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         agg_t = slim.groupby("__g").aggregate(*ray_aggs).to_pandas() \
             if ray_aggs else pd.DataFrame({"__g": [0]})
         agg_t = agg_t.drop(columns=["__g"])
-    else:
+    elif ray_aggs:
         agg_t = slim.groupby(key_names).aggregate(*ray_aggs).to_pandas()
+    else:
+        # no plain aggregates (quantile-/distinct-only, or bare GROUP BY
+        # = DISTINCT): reduce to the distinct key set
+        agg_t = slim.groupby(key_names).aggregate(
+            Count(alias_name="__gn")).to_pandas().drop(columns=["__gn"])
 
     if distinct_aggs:
         dctx = count_distinct(slim, key_names, "__aggd_in", name="__aggd",
                               num_buckets=num_buckets).to_pandas()
         agg_t = agg_t.merge(dctx, on=key_names, how="left")
         agg_t["__aggd"] = agg_t["__aggd"].fillna(0).astype("int64")
+
+    for i, qt in enumerate(q_tables):
+        if key_names:
+            agg_t = agg_t.merge(qt, on=key_names, how="left")
+        else:
+            agg_t[f"__qa{i}"] = qt[f"__qa{i}"].iloc[0]
 
     # bounded post-aggregate table (one row per group) → Arrow, then
     # evaluate the final select expressions with aggregates substituted
@@ -1798,7 +1844,8 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
         order_cols = [col_for(o, "o") for o, _ in w.order_by]
         descs = [d for _, d in w.order_by]
         arg_col = None
-        if w.func.args and not isinstance(w.func.args[0], Star):
+        if (w.func.name not in ("NTILE", "PERCENT_RANK", "CUME_DIST")
+                and w.func.args and not isinstance(w.func.args[0], Star)):
             arg_col = col_for(w.func.args[0], "a")
         plans.append((w, out_col, part_cols, order_cols, descs, arg_col))
 
@@ -1853,6 +1900,23 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
                 raise ValueError("running SUM with DESC unsupported")
             out = with_running_sum(out, part_cols, order_cols, arg_col,
                                    name=out_col, num_buckets=num_buckets)
+        elif fname in ("NTILE", "PERCENT_RANK", "CUME_DIST"):
+            from sous_chef_ray.stages.window import with_ntile_pct
+
+            if len(order_cols) != 1:
+                raise ValueError(f"{fname} needs exactly one ORDER BY key")
+            n_tiles = (_scalar_int(w.func.args[0]) if fname == "NTILE"
+                       else 2)
+            names = {"NTILE": f"{out_col}_nt", "PERCENT_RANK": f"{out_col}_pr",
+                     "CUME_DIST": f"{out_col}_cd"}
+            names[fname] = out_col
+            out = with_ntile_pct(
+                out, part_cols, order_cols[0], n_tiles=n_tiles,
+                descending=descs[0], ntile_name=names["NTILE"],
+                pct_rank_name=names["PERCENT_RANK"],
+                cume_dist_name=names["CUME_DIST"], num_buckets=num_buckets)
+            out = out.drop_columns([v for k, v in names.items()
+                                    if v != out_col])
         elif (fname in ("SUM", "AVG", "COUNT")
               and isinstance(w.frame, tuple) and w.frame[0] == "rows"):
             # moving frame: ROWS BETWEEN n PRECEDING AND {CURRENT ROW |

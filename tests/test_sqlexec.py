@@ -199,7 +199,8 @@ def test_unsupported_constructs_raise():
             "SELECT LAST_VALUE(value) OVER (PARTITION BY user_id "
             "ORDER BY ts) AS lv FROM events", SF)  # default frame ≠ whole partition
     with pytest.raises((ValueError, KeyError)):
-        sql_execute("SELECT MEDIAN(value) AS m FROM events GROUP BY user_id", SF)
+        sql_execute("SELECT user_id, CORR(value, value) AS c FROM events "
+                    "GROUP BY user_id", SF)
 
 
 def test_streaming_projection_returns_dataset():
@@ -341,3 +342,20 @@ def test_union_rejects_mixed_and_mismatched():
     with pytest.raises(ValueError):
         sql_execute("SELECT o_orderkey AS a FROM orders UNION ALL "
                     "SELECT l_orderkey AS b FROM lineitem", SF)
+
+
+def test_quantile_aggregates(con):
+    run_both(con, "SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty, "
+                  "QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price "
+                  "FROM lineitem GROUP BY l_returnflag")
+    run_both(con, "SELECT MEDIAN(o_totalprice) AS med_price, "
+                  "CAST(COUNT(*) AS BIGINT) AS n FROM orders")
+
+
+def test_ntile_pct_windows(con):
+    run_both(con, """
+SELECT event_id,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY value) AS quartile,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cd
+FROM events""")
