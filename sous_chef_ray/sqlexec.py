@@ -1702,6 +1702,13 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
 
     slim = ds.map_batches(_project_fn(proj), batch_format="pyarrow",
                           zero_copy_batch=True)
+    # >1 consumer of the pruned projection (main aggregate + each
+    # quantile pass + count_distinct) → pin it once instead of
+    # recomputing the read+project per consumer (slim is the narrow
+    # post-projection table; spill beats recompute — same call as the
+    # prepare_corpus two-consumer branch)
+    if len(q_aggs) + (1 if distinct_aggs else 0) >= 1:
+        slim = slim.materialize()
 
     # exact quantiles (MEDIAN / QUANTILE_CONT / QUANTILE_DISC): bucketed
     # partition_apply per key group (stages/agg), merged onto the bounded
