@@ -5080,6 +5080,18 @@ SELECT event_id,
        CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cd
 FROM events
 """,
+    # partition-total window (percent-of-total): bounded grouped
+    # aggregate broadcast back onto the stream — no second shuffle.
+    # Integer-cents total so the share division is bit-identical (float
+    # SUM order differs between engines).
+    "sql_execute_partition_total": """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) /
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS share,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+FROM orders
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides

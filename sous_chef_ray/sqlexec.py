@@ -1907,6 +1907,39 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
                 raise ValueError("running SUM with DESC unsupported")
             out = with_running_sum(out, part_cols, order_cols, arg_col,
                                    name=out_col, num_buckets=num_buckets)
+        elif (fname in ("SUM", "AVG", "COUNT", "MIN", "MAX")
+              and not w.order_by and w.frame in (None, "full_partition")):
+            # partition-total window (percent-of-total / RATIO_TO_REPORT
+            # shape): grouped aggregate — bounded, one row per key —
+            # broadcast-merged back onto the stream (no second shuffle)
+            from ray.data.aggregate import Count as _Cnt
+            from ray.data.aggregate import Max as _Max
+            from ray.data.aggregate import Min as _Min
+            from ray.data.aggregate import Sum as _Sum
+
+            from sous_chef_ray.stages.join import broadcast_join
+
+            if fname == "COUNT" and arg_col is None:
+                aggs_ = [_Cnt(alias_name=out_col)]
+            elif fname == "SUM":
+                aggs_ = [_Sum(arg_col, alias_name=out_col)]
+            elif fname == "MIN":
+                aggs_ = [_Min(arg_col, alias_name=out_col)]
+            elif fname == "MAX":
+                aggs_ = [_Max(arg_col, alias_name=out_col)]
+            elif fname == "COUNT":
+                aggs_ = [_Cnt(on=arg_col, alias_name=out_col,
+                              ignore_nulls=True)]
+            else:  # AVG
+                aggs_ = [_Sum(arg_col, alias_name=f"{out_col}_s"),
+                         _Cnt(on=arg_col, alias_name=f"{out_col}_n",
+                              ignore_nulls=True)]
+            tot = out.groupby(part_cols).aggregate(*aggs_).to_pandas()
+            if fname == "AVG":
+                tot[out_col] = (tot[f"{out_col}_s"].astype("float64")
+                                / tot[f"{out_col}_n"].astype("float64"))
+                tot = tot.drop(columns=[f"{out_col}_s", f"{out_col}_n"])
+            out = broadcast_join(out, tot, on=part_cols, how="left")
         elif fname in ("NTILE", "PERCENT_RANK", "CUME_DIST"):
             from sous_chef_ray.stages.window import with_ntile_pct
 

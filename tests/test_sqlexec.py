@@ -359,3 +359,17 @@ SELECT event_id,
        PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pr,
        CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cd
 FROM events""")
+
+
+def test_partition_total_windows(con):
+    # percent-of-total / RATIO_TO_REPORT shape: grouped aggregate
+    # broadcast back onto the stream
+    run_both(con, "SELECT o_orderkey, o_custkey, "
+                  "o_totalprice / SUM(o_totalprice) OVER "
+                  "(PARTITION BY o_custkey) AS share, "
+                  "CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) "
+                  "AS n_orders FROM orders")
+    run_both(con, "SELECT event_id, user_id, "
+                  "value - AVG(value) OVER (PARTITION BY user_id) AS dev, "
+                  "MIN(value) OVER (PARTITION BY user_id) AS mn, "
+                  "MAX(value) OVER (PARTITION BY user_id) AS mx FROM events")
