@@ -5080,6 +5080,25 @@ SELECT event_id,
        CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cd
 FROM events
 """,
+    # correlated EXISTS (Q4 shape) decorrelated to a broadcast semi
+    # filter; inner-only predicate filters the subquery first
+    "sql_execute_exists_q4": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 AS x FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+    # NOT EXISTS → broadcast anti filter
+    "sql_execute_not_exists": """
+SELECT c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 AS x FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+    # SELECT DISTINCT → one hash aggregate over the projection
+    "sql_execute_select_distinct": """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""",
     # partition-total window (percent-of-total): bounded grouped
     # aggregate broadcast back onto the stream — no second shuffle.
     # Integer-cents total so the share division is bit-identical (float

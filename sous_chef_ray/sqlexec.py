@@ -207,17 +207,29 @@ class InSubquery:
 
 
 @dataclass(eq=False)
+class Exists:
+    """[NOT] EXISTS (SELECT …) — decorrelated at plan time: one equality
+    correlation → broadcast key-set semi filter; uncorrelated → a
+    row-existence boolean literal."""
+
+    sel: object  # Select
+
+
+@dataclass(eq=False)
 class InSet:
     """Broadcast semi/anti key-set filter (the Ray-native IN-subquery
     plan): the subquery's distinct keys live in the object store ONCE
     (ray.put); each filter task fetches the ref from shared memory —
     never re-shipped per batch. SQL three-valued logic: NULL operand →
-    NULL; a NULL in the set makes NOT IN never-true."""
+    NULL; a NULL in the set makes NOT IN never-true. EXISTS-derived
+    sets use null_is_false (a NULL correlation key simply matches
+    nothing — no three-valued propagation)."""
 
     operand: object
     keys: object  # ray.ObjectRef of a pa.Array (nulls dropped)
     negated: bool = False
     set_has_null: bool = False
+    null_is_false: bool = False
 
 
 @dataclass(frozen=True)
@@ -246,6 +258,7 @@ class Select:
     having: object = None
     order_by: List[Tuple[object, bool]] = field(default_factory=list)
     limit: Optional[int] = None
+    distinct: bool = False
 
     @property
     def table(self) -> Optional[str]:
@@ -403,6 +416,7 @@ class _Parser:
 
     def _select_body(self) -> Select:
         self.expect_kw("SELECT")
+        distinct = self.accept_kw("DISTINCT")
         items: List[Tuple[Optional[str], object]] = []
         while True:
             expr = self.parse_expr()
@@ -418,7 +432,7 @@ class _Parser:
         self.expect_kw("FROM")
         frm = self._parse_table_ref()
         joins = self._parse_joins()
-        sel = Select(items=items, frm=frm, joins=joins)
+        sel = Select(items=items, frm=frm, joins=joins, distinct=distinct)
         if self.accept_kw("WHERE"):
             sel.where = self.parse_expr()
         if self.accept_kw("GROUP"):
@@ -600,6 +614,12 @@ class _Parser:
         if up == "NULL":
             self.i += 1
             return Lit(None, "null")
+        if up == "EXISTS":
+            self.i += 1
+            self.expect_op("(")
+            sub = self._select_body()
+            self.expect_op(")")
+            return Exists(sub)
         if up == "CAST":
             self.i += 1
             self.expect_op("(")
@@ -845,6 +865,10 @@ def eval_expr(node, t: pa.Table):
         keys = node.keys
         if isinstance(keys, _ray.ObjectRef):
             keys = _ray.get(keys)  # shared-memory fetch, once per worker
+        if node.null_is_false:
+            # EXISTS semantics: NULL key matches nothing — plain boolean
+            out = pc.is_in(x, value_set=keys)
+            return pc.invert(out) if node.negated else out
         if node.negated and node.set_has_null:
             # SQL: x NOT IN (… NULL …) is never TRUE
             return pa.nulls(len(t), pa.bool_())
@@ -1100,6 +1124,9 @@ def _project_fn(named_exprs: List[Tuple[str, object]]):
 def _filter_fn(where):
     def fn(t: pa.Table) -> pa.Table:
         mask = eval_expr(where, t)
+        if isinstance(mask, pa.Scalar):
+            # constant predicate (e.g. folded uncorrelated EXISTS)
+            return t if (mask.is_valid and mask.as_py()) else t.slice(0, 0)
         if isinstance(mask, pa.ChunkedArray):
             mask = mask.combine_chunks()
         return t.filter(pc.fill_null(mask, False))
@@ -1212,6 +1239,65 @@ def _in_subquery_set(node: InSubquery, sf_dir: str, num_buckets: int,
     return InSet(node.operand, ray.put(arr), node.negated, has_null)
 
 
+def _decorrelate_exists(node: Exists, sf_dir: str, num_buckets: int,
+                        broadcast_rows: int):
+    """[NOT] EXISTS (SELECT … WHERE inner.k = outer.x AND <inner preds>)
+    → the TPC-H Q4/Q22 decorrelation: inner-only predicates filter the
+    subquery, its distinct correlation keys broadcast as a semi filter
+    on the outer stream (InSet with null_is_false — a NULL outer key
+    matches nothing). Uncorrelated EXISTS folds to a boolean literal."""
+    sub = node.sel
+    refs = [sub.frm] + [j.ref for j in sub.joins]
+    ref_cols = [_ref_columns(r, sf_dir) for r in refs]
+
+    def scope(e) -> str:
+        cols = _find(e, Col)
+        if not cols:
+            return "const"
+        inner = 0
+        for c in cols:
+            try:
+                _resolve_col(c, refs, ref_cols)
+                inner += 1
+            except (KeyError, ValueError):
+                pass
+        if inner == len(cols):
+            return "inner"
+        if inner == 0:
+            return "outer"
+        return "mixed"
+
+    corr = None
+    inner_conjs: list = []
+    for cj in (_conjuncts(sub.where) if sub.where is not None else []):
+        if isinstance(cj, Bin) and cj.op == "=" and corr is None:
+            s1, s2 = scope(cj.left), scope(cj.right)
+            if {s1, s2} == {"inner", "outer"}:
+                corr = ((cj.left, cj.right) if s1 == "inner"
+                        else (cj.right, cj.left))
+                continue
+        if scope(cj) in ("inner", "const"):
+            inner_conjs.append(cj)
+        else:
+            raise ValueError(
+                "unsupported EXISTS correlation (exactly one equality "
+                "correlation plus inner-only predicates is supported)")
+    inner_where = _and_all(inner_conjs) if inner_conjs else None
+    if corr is None:
+        probe = Select(items=[("__k", Col(ref_cols[0][0]))], frm=sub.frm,
+                       joins=sub.joins, where=inner_where, limit=1)
+        res = _execute_select(probe, sf_dir, num_buckets, broadcast_rows)
+        n = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        return Lit(n > 0, "bool")
+    inner_e, outer_e = corr
+    key_sel = Select(items=[("__k", inner_e)], frm=sub.frm,
+                     joins=sub.joins, where=inner_where)
+    ins = _in_subquery_set(InSubquery(outer_e, key_sel, False), sf_dir,
+                           num_buckets, broadcast_rows)
+    return InSet(ins.operand, ins.keys, False, ins.set_has_null,
+                 null_is_false=True)
+
+
 def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
                             broadcast_rows: int) -> Select:
     """Replace ScalarSub → Lit and InSubquery → InSet throughout the
@@ -1233,6 +1319,9 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
             elif isinstance(s, InSubquery) and s not in repl:
                 repl[s] = _in_subquery_set(s, sf_dir, num_buckets,
                                            broadcast_rows)
+            elif isinstance(s, Exists) and s not in repl:
+                repl[s] = _decorrelate_exists(s, sf_dir, num_buckets,
+                                              broadcast_rows)
     if not repl:
         return sel
     return Select(
@@ -1245,7 +1334,7 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         group_by=[_replace(g, repl) for g in sel.group_by],
         having=_replace(sel.having, repl) if sel.having is not None else None,
         order_by=[(_replace(e, repl), d) for e, d in sel.order_by],
-        limit=sel.limit)
+        limit=sel.limit, distinct=sel.distinct)
 
 
 def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
@@ -1513,7 +1602,7 @@ def _rewrite_select(sel: Select, mapping: dict) -> Select:
         having=(_replace(sel.having, mapping)
                 if sel.having is not None else None),
         order_by=[(_replace(e, mapping), d) for e, d in sel.order_by],
-        limit=sel.limit)
+        limit=sel.limit, distinct=sel.distinct)
 
 
 def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64,
@@ -1560,9 +1649,7 @@ def _execute_compound(comp: Compound, sf_dir: str, num_buckets: int,
         parts.append(p)
     out = parts[0].union(*parts[1:])
     if comp.distinct:
-        out = out.groupby(names).aggregate(Count(alias_name="__n"))
-        out = out.map_batches(lambda t: t.drop_columns(["__n"]),
-                              batch_format="pyarrow", zero_copy_batch=True)
+        out = _distinct_ds(out, names)
     if comp.order_by:
         named = [(n, Col(n)) for n in names]
         keys = [_order_key(named, e) for e, _ in comp.order_by]
@@ -1570,6 +1657,15 @@ def _execute_compound(comp: Compound, sf_dir: str, num_buckets: int,
     if comp.limit is not None:
         out = out.limit(comp.limit)
     return out
+
+
+def _distinct_ds(out, names: List[str]):
+    """Full-row distinct: one hash aggregate over all columns."""
+    from ray.data.aggregate import Count
+
+    out = out.groupby(names).aggregate(Count(alias_name="__dn"))
+    return out.map_batches(lambda t: t.drop_columns(["__dn"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
@@ -1601,6 +1697,8 @@ def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
     named = [(_out_name(a, e), e) for a, e in sel.items]
     out = ds.map_batches(_project_fn(named), batch_format="pyarrow",
                          zero_copy_batch=True)
+    if sel.distinct:
+        out = _distinct_ds(out, [n for n, _ in named])
     if sel.order_by:
         keys = [_order_key(named, e) for e, _ in sel.order_by]
         out = out.sort(keys, descending=[d for _, d in sel.order_by])
@@ -1795,6 +1893,8 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
 
     named = [(_out_name(a, e), finalize(e)) for a, e in sel.items]
     out = _project_fn(named)(at).to_pandas()
+    if sel.distinct:
+        out = out.drop_duplicates().reset_index(drop=True)
     if sel.order_by:
         keys = [_order_key([(n, e) for (n, _), (_, e) in
                             zip(named, sel.items)], e) for e, _ in sel.order_by]
@@ -1996,6 +2096,8 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
     named = [(_out_name(a, e), _replace(e, mapping)) for a, e in sel.items]
     final = out.map_batches(_project_fn(named), batch_format="pyarrow",
                             zero_copy_batch=True)
+    if sel.distinct:
+        final = _distinct_ds(final, [n for n, _ in named])
     if sel.order_by:
         keys = [_order_key(named, e) for e, _ in sel.order_by]
         final = final.sort(keys, descending=[d for _, d in sel.order_by])

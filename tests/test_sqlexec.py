@@ -373,3 +373,25 @@ def test_partition_total_windows(con):
                   "value - AVG(value) OVER (PARTITION BY user_id) AS dev, "
                   "MIN(value) OVER (PARTITION BY user_id) AS mn, "
                   "MAX(value) OVER (PARTITION BY user_id) AS mx FROM events")
+
+
+def test_exists_decorrelation(con):
+    # Q4 shape: one equality correlation + inner-only predicate
+    run_both(con, "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+                  "FROM orders WHERE EXISTS (SELECT 1 AS x FROM lineitem "
+                  "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+                  "GROUP BY o_orderpriority")
+    # NOT EXISTS → anti filter
+    run_both(con, "SELECT c_name FROM customer WHERE NOT EXISTS "
+                  "(SELECT 1 AS x FROM orders WHERE o_custkey = c_custkey "
+                  "AND o_totalprice > 400000)")
+    # uncorrelated EXISTS folds to a boolean literal
+    run_both(con, "SELECT o_orderkey FROM orders WHERE EXISTS "
+                  "(SELECT 1 AS x FROM customer WHERE c_acctbal > 9000) "
+                  "AND o_totalprice > 300000")
+
+
+def test_select_distinct(con):
+    run_both(con, "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+    run_both(con, "SELECT DISTINCT l_returnflag FROM lineitem "
+                  "ORDER BY l_returnflag")
