@@ -267,6 +267,25 @@ class Engine:
             raise ValueError(f"Unsupported SQL source type: {self.offline_store_type}")
         return source_class()
 
+    def execute_sql(self, sql: str, data_dir: Optional[str] = None, **kwargs):
+        """Run a validated SELECT over ``{data_dir}/{table}.parquet`` via
+        the sqlexec compiler — the Ray-native analogue of the reference's
+        warehouse pushdown (ref sql_sources.py:315-322: the reference
+        SENDS the SQL to Snowflake/Teradata/EMR; this engine executes it
+        on Ray Data). When the configured offline store is a SQL dialect,
+        the query must also pass that dialect's ported validator first.
+
+        Returns a streaming ``ray.data.Dataset`` (projections/windows) or
+        a bounded ``pandas.DataFrame`` (aggregates)."""
+        from sous_chef_ray.sqlexec import sql_execute
+
+        if self.offline_store_type != "file":
+            src = self._create_sql_source("__exec__", {})
+            if not src.validate_query(sql):
+                raise ValueError(
+                    f"query rejected by {type(src).__name__} validator")
+        return sql_execute(sql, data_dir or str(self.repo_path), **kwargs)
+
     # -- retrieval (the data plane Feast used to own) ----------------------
 
     def get_historical_features(

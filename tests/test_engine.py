@@ -287,3 +287,36 @@ def test_retail_feature_store_demo():
     feats = mod.main()  # raises on any ASOF-oracle mismatch
     assert len(feats) == 2
     assert {"total_purchases", "loyalty_points", "tier"} <= set(feats.columns)
+
+
+def test_engine_execute_sql(repo):
+    """Engine.execute_sql: the Ray-native analogue of the reference's
+    warehouse pushdown (ref sql_sources.py:315-322) — the engine
+    compiles and runs the SELECT instead of shipping it."""
+    import duckdb
+
+    eng, df, tmp_path = repo
+    out = eng.execute_sql(
+        "SELECT customer_id, CAST(SUM(purchase_count) AS BIGINT) AS total "
+        "FROM customer_data GROUP BY customer_id",
+        data_dir=str(tmp_path / "data"))
+    con = duckdb.connect()
+    con.register("customer_data", df)
+    exp = con.execute(
+        "SELECT customer_id, CAST(SUM(purchase_count) AS BIGINT) AS total "
+        "FROM customer_data GROUP BY customer_id").df()
+    got = out.sort_values("customer_id").reset_index(drop=True)
+    exp = exp.sort_values("customer_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_engine_execute_sql_dialect_gate(tmp_path):
+    """With a snowflake offline store the dialect validator gates
+    execution: SELECT * is rejected (reference validator semantics)."""
+    config = {
+        "project": "demo",
+        "offline_store": {"type": "snowflake"},
+    }
+    eng = Engine(str(tmp_path), config, RULES, check_dirs=False)
+    with pytest.raises(ValueError, match="validator"):
+        eng.execute_sql("SELECT * FROM t", data_dir=str(tmp_path))
