@@ -5099,6 +5099,21 @@ WHERE NOT EXISTS (SELECT 1 AS x FROM orders
     "sql_execute_select_distinct": """
 SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 """,
+    # the full TPC-H Q3 shape COMPILED — same SQL string as the
+    # hand-built shipping_priority_q3 plan (three-relation join chain +
+    # pushed per-side filters + exact integer-revenue aggregate): the
+    # compiler's plan, the hand-built plan, and DuckDB all agree
+    "sql_execute_q3": _Q3_SQL,
+    # rank over grouped results: windows evaluate on the BOUNDED
+    # post-aggregate table (one row per group), after HAVING
+    "sql_execute_rank_over_agg": """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY COUNT(*) DESC, event_type) AS BIGINT) AS rn,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id
+            ORDER BY COUNT(*) DESC) AS BIGINT) AS dr
+FROM events GROUP BY user_id, event_type
+""",
     # partition-total window (percent-of-total): bounded grouped
     # aggregate broadcast back onto the stream — no second shuffle.
     # Integer-cents total so the share division is bit-identical (float

@@ -1722,6 +1722,61 @@ def _order_key(named: List[Tuple[str, object]], expr) -> str:
     raise ValueError(f"ORDER BY expression not in select list: {expr!r}")
 
 
+def _eval_bounded_window(at: pa.Table, w: Win):
+    """Rank-family window over the BOUNDED post-aggregate table (one row
+    per group — driver-side by design): ROW_NUMBER / RANK / DENSE_RANK
+    with arbitrary PARTITION BY / multi-key ORDER BY."""
+    n = len(at)
+    fname = w.func.name
+    if fname not in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+        raise ValueError(f"unsupported window function {fname} over an "
+                         "aggregated result")
+    cols_p = {}
+    for i, p in enumerate(w.partition_by):
+        v = eval_expr(p, at)
+        cols_p[f"p{i}"] = (v.combine_chunks() if isinstance(
+            v, pa.ChunkedArray) else v).to_pandas()
+    cols_o = {}
+    descs = []
+    for j, (o, d) in enumerate(w.order_by):
+        v = eval_expr(o, at)
+        cols_o[f"o{j}"] = (v.combine_chunks() if isinstance(
+            v, pa.ChunkedArray) else v).to_pandas()
+        descs.append(d)
+    df = pd.DataFrame({**cols_p, **cols_o})
+    sorted_index = df.sort_values(
+        list(cols_p) + list(cols_o),
+        ascending=[True] * len(cols_p) + [not d for d in descs],
+        kind="mergesort").index.to_numpy()
+    sdf = df.iloc[sorted_index].reset_index(drop=True)
+    arange = np.arange(n)
+    if cols_p:
+        part_change = (sdf[list(cols_p)] != sdf[list(cols_p)].shift()) \
+            .any(axis=1).to_numpy()
+    else:
+        part_change = np.zeros(n, dtype=bool)
+    if n:
+        part_change[0] = True
+    part_start = np.maximum.accumulate(np.where(part_change, arange, 0))
+    if fname == "ROW_NUMBER":
+        out_sorted = arange - part_start + 1
+    else:
+        val_change = part_change | (sdf[list(cols_o)] != sdf[list(cols_o)]
+                                    .shift()).any(axis=1).to_numpy()
+        if n:
+            val_change[0] = True
+        if fname == "RANK":
+            first_tie = np.maximum.accumulate(np.where(val_change, arange, 0))
+            out_sorted = first_tie - part_start + 1
+        else:  # DENSE_RANK
+            g = np.cumsum(val_change)
+            g_at_start = np.maximum.accumulate(np.where(part_change, g, 0))
+            out_sorted = g - g_at_start + 1
+    out = np.empty(n, dtype=np.int64)
+    out[sorted_index] = out_sorted
+    return pa.array(out)
+
+
 def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
     """GROUP BY plan: per-batch projection of keys + aggregate args →
     Dataset.groupby().aggregate() (partial/combine inside Ray's hash
@@ -1890,6 +1945,24 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         if isinstance(mask, pa.ChunkedArray):
             mask = mask.combine_chunks()
         at = at.filter(pc.fill_null(mask, False))
+
+    # rank-family windows over the aggregated result (SQL evaluation
+    # order: after HAVING) — bounded, one row per group
+    wins: List[Win] = []
+    for _, e in sel.items:
+        for wnode in _find(e, Win):
+            if wnode not in wins:
+                wins.append(wnode)
+    win_map = {}
+    for i, wnode in enumerate(wins):
+        col = _eval_bounded_window(at, _replace(wnode, mapping))
+        at = at.append_column(f"__bw{i}", col)
+        win_map[wnode] = Col(f"__bw{i}")
+    if win_map:
+        _fin = finalize
+
+        def finalize(expr, _f=_fin):  # noqa: F811
+            return _f(_replace(expr, win_map))
 
     named = [(_out_name(a, e), finalize(e)) for a, e in sel.items]
     out = _project_fn(named)(at).to_pandas()

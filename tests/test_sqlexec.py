@@ -395,3 +395,26 @@ def test_select_distinct(con):
     run_both(con, "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
     run_both(con, "SELECT DISTINCT l_returnflag FROM lineitem "
                   "ORDER BY l_returnflag")
+
+
+def test_window_over_aggregate(con):
+    # rank over grouped results (bounded post-aggregate window)
+    run_both(con, """
+SELECT o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(RANK() OVER (ORDER BY SUM(CAST(ROUND(o_totalprice * 100)
+            AS BIGINT)) DESC) AS BIGINT) AS spend_rank
+FROM orders GROUP BY o_custkey""")
+    run_both(con, """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY COUNT(*) DESC, event_type) AS BIGINT) AS rn,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id
+            ORDER BY COUNT(*) DESC) AS BIGINT) AS dr
+FROM events GROUP BY user_id, event_type""")
+
+
+def test_compiled_q3_matches_handbuilt_oracle(con):
+    from sous_chef_ray.queries import _Q3_SQL
+
+    run_both(con, _Q3_SQL)
