@@ -5104,6 +5104,13 @@ SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
     # pushed per-side filters + exact integer-revenue aggregate): the
     # compiler's plan, the hand-built plan, and DuckDB all agree
     "sql_execute_q3": _Q3_SQL,
+    # six-relation comma-join star (implicit joins: equi keys pulled
+    # from the WHERE pool at plan time), dims broadcast
+    "sql_execute_q5": _Q5_SQL,
+    # scan-only filter + global aggregate
+    "sql_execute_q6": _Q6_SQL,
+    # derived-table pre-aggregate + two dim joins + exact ORDER/LIMIT
+    "sql_execute_q10": _Q10_SQL,
     # rank over grouped results: windows evaluate on the BOUNDED
     # post-aggregate table (one row per group), after HAVING
     "sql_execute_rank_over_agg": """

@@ -431,7 +431,12 @@ class _Parser:
                 break
         self.expect_kw("FROM")
         frm = self._parse_table_ref()
-        joins = self._parse_joins()
+        joins: List[JoinSpec] = []
+        while self.accept_op(","):
+            # comma-list FROM: implicit join; equi keys are pulled from
+            # the WHERE conjunct pool at plan time
+            joins.append(JoinSpec("comma", self._parse_table_ref(), None))
+        joins += self._parse_joins()
         sel = Select(items=items, frm=frm, joins=joins, distinct=distinct)
         if self.accept_kw("WHERE"):
             sel.where = self.parse_expr()
@@ -1337,6 +1342,37 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         limit=sel.limit, distinct=sel.distinct)
 
 
+class _BroadcastMergeChain:
+    """ONE actor-pool stage applying a whole run of consecutive
+    broadcast dim-joins (+ interleaved residual filters).  A chain of
+    separate actor-pool stages needs one minimum actor EACH — more
+    minimum actors than CPUs deadlocks the streaming executor on small
+    clusters (observed: the compiled six-relation Q5 at 4 CPUs), and
+    each extra stage is an extra batch copy at 100 TB.  Dims live in
+    the object store once (ray.put of the step list)."""
+
+    def __init__(self, steps_ref):
+        import ray
+
+        self.steps = ray.get(steps_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        for step in self.steps:
+            if step[0] == "merge":
+                _, dim, on, right_on, how = step
+                if how == "cross":
+                    batch = batch.merge(dim, how="cross",
+                                        suffixes=("", "_r"))
+                else:
+                    batch = batch.merge(dim, how=how, left_on=on,
+                                        right_on=right_on,
+                                        suffixes=("", "_r"))
+            else:  # ("filter", expr)
+                t = pa.Table.from_pandas(batch, preserve_index=False)
+                batch = _filter_fn(step[1])(t).to_pandas()
+        return batch
+
+
 def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                broadcast_rows: int):
     """FROM + WHERE → (Dataset-or-DataFrame, Col-substitution mapping).
@@ -1390,8 +1426,11 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
     # reject cross-relation output-name collisions (same-named equi-join
     # keys are fine: the join dedups them to one column)
     same_key_names = set()
-    for j in sel.joins:
-        for conj in _conjuncts(j.on) if j.on is not None else []:
+    on_pools = [j.on for j in sel.joins if j.on is not None]
+    if sel.where is not None and any(j.kind == "comma" for j in sel.joins):
+        on_pools.append(sel.where)  # comma joins take keys from WHERE
+    for pool in on_pools:
+        for conj in _conjuncts(pool):
             if (isinstance(conj, Bin) and conj.op == "="
                     and isinstance(conj.left, Col)
                     and isinstance(conj.right, Col)):
@@ -1502,32 +1541,78 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
     left = build_side(0)
     if isinstance(left, pd.DataFrame):
         left = rd.from_pandas(left)
+
+    pending: list = []  # consecutive broadcast steps → ONE actor stage
+
+    def flush_chain(lhs):
+        if not pending:
+            return lhs
+        import ray as _ray
+
+        from sous_chef_ray.stages._util import pool as _pool
+
+        ref = _ray.put(list(pending))
+        pending.clear()
+        return lhs.map_batches(
+            _BroadcastMergeChain,
+            fn_constructor_kwargs=dict(steps_ref=ref),
+            batch_format="pandas", concurrency=_pool(4))
+
     for k, j in enumerate(sel.joins):
         ri = k + 1
         kind = j.kind
         eq: List[Tuple[str, str]] = []
         resid_on: list = []
-        for conj in _conjuncts(j.on) if j.on is not None else []:
-            done = False
-            if (isinstance(conj, Bin) and conj.op == "="
-                    and isinstance(conj.left, Col)
-                    and isinstance(conj.right, Col)):
-                i1, n1 = resolved[conj.left]
-                i2, n2 = resolved[conj.right]
-                if i1 < ri and i2 == ri:
-                    eq.append((n1, n2))
-                    done = True
-                elif i2 < ri and i1 == ri:
-                    eq.append((n2, n1))
-                    done = True
-            if not done:
-                resid_on.append(conj)
-        if kind != "cross" and not eq:
-            raise ValueError("JOIN ON requires at least one equi-key "
-                             "(a.x = b.y) condition")
-        if resid_on and kind != "inner":
-            raise ValueError("non-equi ON conditions are only supported "
-                             "for INNER JOIN")
+        if kind == "comma":
+            # implicit join: claim equi conjuncts between this relation
+            # and the joined prefix from the WHERE pool; any other
+            # conjunct fully contained in the prefix+this relation
+            # applies right after this join (inner semantics)
+            prefix_ok = all(j2.kind in ("inner", "cross", "comma")
+                            for j2 in sel.joins[:ri])
+            remaining: list = []
+            for conj in residual:
+                owners = {resolved[c][0] for c in _find(conj, Col)}
+                if (isinstance(conj, Bin) and conj.op == "="
+                        and isinstance(conj.left, Col)
+                        and isinstance(conj.right, Col)):
+                    i1, n1 = resolved[conj.left]
+                    i2, n2 = resolved[conj.right]
+                    if i1 < ri and i2 == ri:
+                        eq.append((n1, n2))
+                        continue
+                    if i2 < ri and i1 == ri:
+                        eq.append((n2, n1))
+                        continue
+                if (prefix_ok and owners and ri in owners
+                        and owners <= set(range(ri + 1))):
+                    resid_on.append(conj)
+                    continue
+                remaining.append(conj)
+            residual = remaining
+            kind = "inner" if eq else "cross"
+        else:
+            for conj in _conjuncts(j.on) if j.on is not None else []:
+                done = False
+                if (isinstance(conj, Bin) and conj.op == "="
+                        and isinstance(conj.left, Col)
+                        and isinstance(conj.right, Col)):
+                    i1, n1 = resolved[conj.left]
+                    i2, n2 = resolved[conj.right]
+                    if i1 < ri and i2 == ri:
+                        eq.append((n1, n2))
+                        done = True
+                    elif i2 < ri and i1 == ri:
+                        eq.append((n2, n1))
+                        done = True
+                if not done:
+                    resid_on.append(conj)
+            if kind != "cross" and not eq:
+                raise ValueError("JOIN ON requires at least one equi-key "
+                                 "(a.x = b.y) condition")
+            if resid_on and kind != "inner":
+                raise ValueError("non-equi ON conditions are only "
+                                 "supported for INNER JOIN")
 
         right_side = build_side(ri) if refs[ri].sub is not None else None
         dim = None
@@ -1540,16 +1625,19 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                     dim = build_small(ri)
         if dim is not None:
             if kind == "cross":
-                left = broadcast_join(left, dim, on=None, how="cross")
+                pending.append(("merge", dim, None, None, "cross"))
             else:
-                left = broadcast_join(
-                    left, dim, on=[p[0] for p in eq],
-                    right_on=[p[1] for p in eq],
-                    how={"inner": "inner", "left": "left"}[kind])
+                pending.append((
+                    "merge", dim, [p[0] for p in eq], [p[1] for p in eq],
+                    {"inner": "inner", "left": "left"}[kind]))
+            if resid_on:
+                pending.append(("filter", _and_all(resid_on)))
+            continue
         else:
             if kind == "cross":
                 raise ValueError("CROSS JOIN right side too large to "
                                  "broadcast")
+            left = flush_chain(left)
             right = right_side if right_side is not None else build_side(ri)
             if isinstance(right, pd.DataFrame):
                 right = rd.from_pandas(right)
@@ -1586,6 +1674,7 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
             left = left.map_batches(_filter_fn(_and_all(resid_on)),
                                     batch_format="pyarrow",
                                     zero_copy_batch=True)
+    left = flush_chain(left)
     if residual:
         left = left.map_batches(_filter_fn(_and_all(residual)),
                                 batch_format="pyarrow", zero_copy_batch=True)

@@ -17,7 +17,7 @@ from sous_chef_ray.sqlexec import (
     parse_sql, sql_execute)
 
 SF = "/root/testdata/sf0.001"
-TABLES = "orders lineitem events customer nation region".split()
+TABLES = "orders lineitem events customer nation region supplier part".split()
 
 
 @pytest.fixture(scope="module")
@@ -418,3 +418,17 @@ def test_compiled_q3_matches_handbuilt_oracle(con):
     from sous_chef_ray.queries import _Q3_SQL
 
     run_both(con, _Q3_SQL)
+
+
+def test_compiled_tpch_q5_q6_q10(con):
+    """The hand-built TPC-H plans' own oracle SQL strings run through
+    the compiler: Q5 (comma-join star), Q6 (scan-only), Q10 (derived
+    table + joins + ORDER/LIMIT)."""
+    import duckdb as _d
+
+    from sous_chef_ray.queries import _Q5_SQL, _Q6_SQL, _Q10_SQL
+
+    con.execute(f"CREATE VIEW IF NOT EXISTS supplier AS SELECT * FROM "
+                f"read_parquet('{SF}/supplier.parquet')")
+    for sql in (_Q5_SQL, _Q6_SQL, _Q10_SQL):
+        run_both(con, sql)
