@@ -5178,6 +5178,7 @@ _WINDOW_PRIORITY = [
     "sql_execute_join_three_way", "sql_execute_join_derived",
     "sql_execute_join_hash", "sql_execute_in_subquery",
     "sql_execute_moving_frame", "sql_execute_exists_q4",
+    "sql_execute_q3", "sql_execute_q5",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",
