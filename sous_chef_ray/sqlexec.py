@@ -1397,7 +1397,7 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from sous_chef_ray.stages.join import broadcast_join, hash_join
+    from sous_chef_ray.stages.join import hash_join
 
     refs = [sel.frm] + [j.ref for j in sel.joins]
     aliases = [r.alias for r in refs]
