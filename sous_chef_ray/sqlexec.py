@@ -1610,9 +1610,20 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
             if kind != "cross" and not eq:
                 raise ValueError("JOIN ON requires at least one equi-key "
                                  "(a.x = b.y) condition")
-            if resid_on and kind != "inner":
-                raise ValueError("non-equi ON conditions are only "
-                                 "supported for INNER JOIN")
+        # LEFT JOIN ON-predicates owned solely by the right relation
+        # filter the right side BEFORE the join (SQL ON semantics: left
+        # rows are preserved either way)
+        right_pre = None
+        if resid_on and kind == "left":
+            rp = [c for c in resid_on
+                  if {resolved[cc][0] for cc in _find(c, Col)} <= {ri}]
+            if rp:
+                right_pre = _and_all(rp)
+                resid_on = [c for c in resid_on if c not in rp]
+        if resid_on and kind not in ("inner", "cross"):
+            raise ValueError("non-equi ON conditions are only "
+                             "supported for INNER JOIN (or right-side-"
+                             "only predicates on LEFT JOIN)")
 
         right_side = build_side(ri) if refs[ri].sub is not None else None
         dim = None
@@ -1624,6 +1635,10 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                 if nrows is not None and nrows <= broadcast_rows:
                     dim = build_small(ri)
         if dim is not None:
+            if right_pre is not None:
+                dim = _filter_fn(right_pre)(
+                    pa.Table.from_pandas(dim, preserve_index=False)
+                ).to_pandas()
             if kind == "cross":
                 pending.append(("merge", dim, None, None, "cross"))
             else:
@@ -1641,6 +1656,10 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
             right = right_side if right_side is not None else build_side(ri)
             if isinstance(right, pd.DataFrame):
                 right = rd.from_pandas(right)
+            if right_pre is not None:
+                right = right.map_batches(_filter_fn(right_pre),
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
             for n_l, n_r in eq:
                 if n_l != n_r and n_r in needed[ri]:
                     if kind == "inner":

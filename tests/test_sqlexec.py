@@ -432,3 +432,22 @@ def test_compiled_tpch_q5_q6_q10(con):
                 f"read_parquet('{SF}/supplier.parquet')")
     for sql in (_Q5_SQL, _Q6_SQL, _Q10_SQL):
         run_both(con, sql)
+
+
+def test_left_join_on_right_predicate(con):
+    """LEFT JOIN ON-predicates owned by the right side filter BEFORE the
+    join (left rows preserved) — both physical paths."""
+    import ray.data as rd
+    from sous_chef_ray.sqlexec import sql_execute as ex
+
+    sql = ("SELECT c.c_name, o.o_orderkey, o.o_totalprice "
+           "FROM customer c LEFT JOIN orders o "
+           "ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000")
+    run_both(con, sql)  # broadcast path
+    got = ex(sql, SF, broadcast_rows=0)  # hash path
+    got = got.to_pandas() if isinstance(got, rd.Dataset) else got
+    exp = con.execute(sql).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    e = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=True)
