@@ -5133,6 +5133,47 @@ SELECT o_orderkey, o_custkey,
        CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
 FROM orders
 """,
+    # QUALIFY top-k (Snowflake idiom; ref tests/test_snowflake_sources
+    # exercises QUALIFY): ROW_NUMBER <= k compiles to topk_per_group —
+    # the filter runs INSIDE the bucket stage, k rows per key downstream
+    "sql_execute_qualify_topk": """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+""",
+    # QUALIFY general path: RANK keeps ALL tied rows, so it computes the
+    # window column and filters the stream (not positional top-k)
+    "sql_execute_qualify_rank": """
+SELECT o_custkey, o_orderkey
+FROM orders
+QUALIFY RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) = 1
+""",
+    # time-RANGE moving frame (ref tests/test_teradata_sources moving
+    # windows): searchsorted rolling kernel, peers share frames;
+    # integer-cents so the prefix sums are exact in both engines
+    "sql_execute_range_frame": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS r1h_cents,
+       CAST(COUNT(value) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS r1h_n
+FROM events
+""",
+    # LAST_VALUE under SQL's DEFAULT frame (RANGE UNBOUNDED PRECEDING →
+    # CURRENT ROW): peers-aware — with a unique ORDER BY the last peer
+    # is the row itself, which both engines must agree on exactly (the
+    # tie-heavy peer case is pinned engine-side in tests/test_sqlexec)
+    "sql_execute_last_value_default": """
+SELECT event_id,
+       LAST_VALUE(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS lv
+FROM events
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides
@@ -5179,6 +5220,9 @@ _WINDOW_PRIORITY = [
     "sql_execute_join_hash", "sql_execute_in_subquery",
     "sql_execute_moving_frame", "sql_execute_exists_q4",
     "sql_execute_q3", "sql_execute_q5",
+    # round-5 compiler additions: QUALIFY + time-RANGE frames
+    "sql_execute_qualify_topk", "sql_execute_qualify_rank",
+    "sql_execute_range_frame", "sql_execute_last_value_default",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",

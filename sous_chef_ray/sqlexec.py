@@ -256,6 +256,7 @@ class Select:
     where: object = None
     group_by: List[object] = field(default_factory=list)
     having: object = None
+    qualify: object = None  # window-predicate filter (Snowflake/DuckDB)
     order_by: List[Tuple[object, bool]] = field(default_factory=list)
     limit: Optional[int] = None
     distinct: bool = False
@@ -278,8 +279,9 @@ class Compound:
 
 # idents that end a table alias position in the FROM clause
 _TABLE_STOP = {
-    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "JOIN", "INNER",
-    "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON", "UNION", "AS",
+    "WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT", "JOIN",
+    "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON", "UNION",
+    "AS",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
@@ -448,6 +450,8 @@ class _Parser:
                     break
         if self.accept_kw("HAVING"):
             sel.having = self.parse_expr()
+        if self.accept_kw("QUALIFY"):
+            sel.qualify = self.parse_expr()
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
             while True:
@@ -717,6 +721,28 @@ class _Parser:
                         self.expect_kw("UNBOUNDED")
                         self.expect_kw("PRECEDING")
                         frame = "rows_unbounded_preceding"
+                elif self.accept_kw("RANGE"):
+                    self.expect_kw("BETWEEN")
+                    if self.accept_kw("UNBOUNDED"):
+                        self.expect_kw("PRECEDING")
+                        lo_ivl = None
+                    else:
+                        # INTERVAL literal (time-RANGE) or numeric bound
+                        b = self.parse_expr()
+                        if not isinstance(b, Lit) or b.kind not in (
+                                "interval", "int"):
+                            raise ValueError(
+                                "RANGE lower bound must be an INTERVAL "
+                                "or integer literal")
+                        lo_ivl = b.value
+                        self.expect_kw("PRECEDING")
+                    self.expect_kw("AND")
+                    self.expect_kw("CURRENT")
+                    self.expect_kw("ROW")
+                    # SQL's default frame when ORDER BY is present is
+                    # RANGE UNBOUNDED PRECEDING..CURRENT ROW — map the
+                    # explicit spelling to frame None (same semantics)
+                    frame = None if lo_ivl is None else ("range", lo_ivl)
                 self.expect_op(")")
                 return Win(fn, tuple(part), tuple(order), frame)
             return fn
@@ -880,6 +906,12 @@ def eval_expr(node, t: pa.Table):
         out = pc.is_in(x, value_set=keys)
         if node.negated:
             out = pc.invert(out)
+        elif node.set_has_null:
+            # x IN (… NULL …): a non-match is UNKNOWN (x = NULL could
+            # hold), not FALSE — matters when the IN lands in a
+            # projection or under NOT/CASE rather than a WHERE filter
+            out = pc.if_else(out, pa.scalar(True),
+                             pa.scalar(None, pa.bool_()))
         # NULL operand → NULL (pc.is_in maps null → false)
         return pc.if_else(pc.is_null(x), pa.scalar(None, pa.bool_()), out)
     if isinstance(node, Func):
@@ -1314,6 +1346,8 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         targets.append(sel.where)
     if sel.having is not None:
         targets.append(sel.having)
+    if sel.qualify is not None:
+        targets.append(sel.qualify)
     targets += [e for e, _ in sel.order_by]
     targets += [j.on for j in sel.joins if j.on is not None]
     for n in targets:
@@ -1338,6 +1372,8 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         where=_replace(sel.where, repl) if sel.where is not None else None,
         group_by=[_replace(g, repl) for g in sel.group_by],
         having=_replace(sel.having, repl) if sel.having is not None else None,
+        qualify=(_replace(sel.qualify, repl)
+                 if sel.qualify is not None else None),
         order_by=[(_replace(e, repl), d) for e, d in sel.order_by],
         limit=sel.limit, distinct=sel.distinct)
 
@@ -1349,27 +1385,36 @@ class _BroadcastMergeChain:
     minimum actors than CPUs deadlocks the streaming executor on small
     clusters (observed: the compiled six-relation Q5 at 4 CPUs), and
     each extra stage is an extra batch copy at 100 TB.  Dims live in
-    the object store once (ray.put of the step list)."""
+    the object store once (ray.put of the step list).
+
+    Arrow-native: each merge step probes a stages/join.DimIndex built
+    once per actor (``pc.index_in`` + null-masked ``Table.take``) —
+    fact batches never round-trip through pandas, so list/token
+    columns stay zero-copy and NUL-containing keys join exactly."""
 
     def __init__(self, steps_ref):
         import ray
 
-        self.steps = ray.get(steps_ref)
+        from sous_chef_ray.stages.join import DimIndex
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        for step in self.steps:
+        self.steps = []
+        for step in ray.get(steps_ref):
             if step[0] == "merge":
                 _, dim, on, right_on, how = step
-                if how == "cross":
-                    batch = batch.merge(dim, how="cross",
-                                        suffixes=("", "_r"))
-                else:
-                    batch = batch.merge(dim, how=how, left_on=on,
-                                        right_on=right_on,
-                                        suffixes=("", "_r"))
+                drop = frozenset() if how == "cross" else frozenset(
+                    r for l_, r in zip(on, right_on) if l_ == r)
+                self.steps.append(
+                    ("merge", DimIndex(dim, right_on, how, drop_keys=drop),
+                     on))
             else:  # ("filter", expr)
-                t = pa.Table.from_pandas(batch, preserve_index=False)
-                batch = _filter_fn(step[1])(t).to_pandas()
+                self.steps.append(("filter", _filter_fn(step[1])))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for step in self.steps:
+            if step[0] == "merge":
+                batch = step[1].merge(batch, step[2])
+            else:
+                batch = step[1](batch)
         return batch
 
 
@@ -1411,6 +1456,8 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
         nodes.append(sel.where)
     if sel.having is not None:
         nodes.append(sel.having)
+    if sel.qualify is not None:
+        nodes.append(sel.qualify)
     nodes += [e for e, _ in sel.order_by]
     nodes += [j.on for j in sel.joins if j.on is not None]
     resolved: dict = {}
@@ -1514,13 +1561,13 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                                     zero_copy_batch=True)
         return ds_i
 
-    def build_small(i: int) -> pd.DataFrame:
+    def build_small(i: int) -> pa.Table:
         """Small base relation as a bounded in-memory dim table."""
         t = pq.read_table(f"{sf_dir}/{refs[i].table}.parquet",
                           columns=sorted(needed[i]))
         if pushed[i]:
             t = _filter_fn(_and_all(pushed[i]))(t)
-        return t.to_pandas()
+        return t
 
     mapping = {c: Col(actual) for c, (i, actual) in resolved.items()
                if c != Col(actual)}
@@ -1556,7 +1603,8 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
         return lhs.map_batches(
             _BroadcastMergeChain,
             fn_constructor_kwargs=dict(steps_ref=ref),
-            batch_format="pandas", concurrency=_pool(4))
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=_pool(4))
 
     for k, j in enumerate(sel.joins):
         ri = k + 1
@@ -1635,10 +1683,23 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                 if nrows is not None and nrows <= broadcast_rows:
                     dim = build_small(ri)
         if dim is not None:
+            if isinstance(dim, pd.DataFrame):
+                dim = pa.Table.from_pandas(dim, preserve_index=False)
             if right_pre is not None:
-                dim = _filter_fn(right_pre)(
-                    pa.Table.from_pandas(dim, preserve_index=False)
-                ).to_pandas()
+                dim = _filter_fn(right_pre)(dim)
+            if kind == "left":
+                # same-named equi-keys collapse to the preserved (left)
+                # side's column in the merged batch; a referenced right
+                # key must stay independently null-extendable (SQL:
+                # ``b.k IS NULL`` marks unmatched rows) → keep it alive
+                # as a renamed dim payload column and remap references
+                for n_l, n_r in eq:
+                    if n_l == n_r and n_r in needed[ri]:
+                        keep = f"__jk_{ri}_{n_r}"
+                        dim = dim.append_column(keep, dim[n_r])
+                        for c, (i_, a_) in resolved.items():
+                            if i_ == ri and a_ == n_r:
+                                mapping[c] = Col(keep)
             if kind == "cross":
                 pending.append(("merge", dim, None, None, "cross"))
             else:
@@ -1646,7 +1707,9 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                     "merge", dim, [p[0] for p in eq], [p[1] for p in eq],
                     {"inner": "inner", "left": "left"}[kind]))
             if resid_on:
-                pending.append(("filter", _and_all(resid_on)))
+                pending.append(
+                    ("filter",
+                     _and_all([_replace(c, mapping) for c in resid_on])))
             continue
         else:
             if kind == "cross":
@@ -1661,19 +1724,27 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                                           batch_format="pyarrow",
                                           zero_copy_batch=True)
             for n_l, n_r in eq:
-                if n_l != n_r and n_r in needed[ri]:
-                    if kind == "inner":
-                        repl = Col(n_l)
-                    else:
-                        keep = f"__jk_{ri}_{n_r}"
-                        right = right.map_batches(
-                            lambda t, _n=n_r, _k=keep:
-                                t.append_column(_k, t[_n]),
-                            batch_format="pyarrow", zero_copy_batch=True)
-                        repl = Col(keep)
-                    for c, (i_, a_) in resolved.items():
-                        if i_ == ri and a_ == n_r:
-                            mapping[c] = repl
+                if n_r not in needed[ri]:
+                    continue
+                if kind == "inner":
+                    if n_l == n_r:
+                        continue  # join keeps the one shared key column
+                    repl = Col(n_l)
+                else:
+                    # outer join: Ray's join keeps the LEFT key column
+                    # (null-extended on its own schedule) and drops the
+                    # right key — a referenced right key must survive
+                    # independently (``b.k IS NULL`` anti-join idiom),
+                    # SAME-NAMED OR NOT, via a pre-join copy
+                    keep = f"__jk_{ri}_{n_r}"
+                    right = right.map_batches(
+                        lambda t, _n=n_r, _k=keep:
+                            t.append_column(_k, t[_n]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+                    repl = Col(keep)
+                for c, (i_, a_) in resolved.items():
+                    if i_ == ri and a_ == n_r:
+                        mapping[c] = repl
             # Ray's hash-shuffle join spawns aggregator actors per
             # partition; far more partitions than CPUs deadlocks actor
             # scheduling on small clusters (observed: 64 partitions on a
@@ -1690,13 +1761,18 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                            "full": "full_outer"}[kind],
                 num_partitions=max(2, min(num_buckets, cpus * 2)))
         if resid_on:
-            left = left.map_batches(_filter_fn(_and_all(resid_on)),
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True)
+            # rewrite through the incrementally-built mapping: a
+            # predicate naming a right key column that the physical
+            # join dropped must point at its __jk_ keep-alive copy
+            left = left.map_batches(
+                _filter_fn(_and_all([_replace(c, mapping)
+                                     for c in resid_on])),
+                batch_format="pyarrow", zero_copy_batch=True)
     left = flush_chain(left)
     if residual:
-        left = left.map_batches(_filter_fn(_and_all(residual)),
-                                batch_format="pyarrow", zero_copy_batch=True)
+        left = left.map_batches(
+            _filter_fn(_and_all([_replace(c, mapping) for c in residual])),
+            batch_format="pyarrow", zero_copy_batch=True)
     return left, mapping
 
 
@@ -1709,6 +1785,8 @@ def _rewrite_select(sel: Select, mapping: dict) -> Select:
         group_by=[_replace(g, mapping) for g in sel.group_by],
         having=(_replace(sel.having, mapping)
                 if sel.having is not None else None),
+        qualify=(_replace(sel.qualify, mapping)
+                 if sel.qualify is not None else None),
         order_by=[(_replace(e, mapping), d) for e, d in sel.order_by],
         limit=sel.limit, distinct=sel.distinct)
 
@@ -1793,12 +1871,14 @@ def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
         aggs.extend(_find_aggs(sel.having))
 
     if sel.group_by or aggs:
+        if sel.qualify is not None:
+            raise ValueError("QUALIFY over aggregated results unsupported")
         return _execute_aggregate(ds, sel, aggs, num_buckets)
 
     wins = []
     for _, e in sel.items:
         wins.extend(_find(e, Win))
-    if wins:
+    if wins or sel.qualify is not None:
         return _execute_window(ds, sel, wins, num_buckets)
 
     # pure projection → streaming Dataset
@@ -1858,9 +1938,17 @@ def _eval_bounded_window(at: pa.Table, w: Win):
         kind="mergesort").index.to_numpy()
     sdf = df.iloc[sorted_index].reset_index(drop=True)
     arange = np.arange(n)
+
+    def _neq_shift(frame: pd.DataFrame) -> np.ndarray:
+        # null-aware row-change detection: SQL PARTITION BY groups NULL
+        # keys together, but pandas NaN != NaN is True — mask out the
+        # both-null positions so a NULL key doesn't restart per row
+        prev = frame.shift()
+        neq = (frame != prev) & ~(frame.isna() & prev.isna())
+        return neq.any(axis=1).to_numpy()
+
     if cols_p:
-        part_change = (sdf[list(cols_p)] != sdf[list(cols_p)].shift()) \
-            .any(axis=1).to_numpy()
+        part_change = _neq_shift(sdf[list(cols_p)])
     else:
         part_change = np.zeros(n, dtype=bool)
     if n:
@@ -1869,8 +1957,7 @@ def _eval_bounded_window(at: pa.Table, w: Win):
     if fname == "ROW_NUMBER":
         out_sorted = arange - part_start + 1
     else:
-        val_change = part_change | (sdf[list(cols_o)] != sdf[list(cols_o)]
-                                    .shift()).any(axis=1).to_numpy()
+        val_change = part_change | _neq_shift(sdf[list(cols_o)])
         if n:
             val_change[0] = True
         if fname == "RANK":
@@ -2026,7 +2113,11 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         if key_names:
             agg_t = agg_t.merge(qt, on=key_names, how="left")
         else:
-            agg_t[f"__qa{i}"] = qt[f"__qa{i}"].iloc[0]
+            # empty input: global quantile is NULL, like SUM/AVG
+            # (np.nan keeps the column float64 — a Python None would
+            # flip it to object dtype and change the output schema)
+            agg_t[f"__qa{i}"] = (qt[f"__qa{i}"].iloc[0]
+                                 if len(qt) else np.nan)
 
     # bounded post-aggregate table (one row per group) → Arrow, then
     # evaluate the final select expressions with aggregates substituted
@@ -2086,6 +2177,24 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
     return out
 
 
+def _qualify_topk(q) -> Optional[Tuple[Win, int]]:
+    """Match `ROW_NUMBER() OVER (... ORDER BY ...) {<=|<|=} k` (the
+    Snowflake QUALIFY top-k idiom) → (window, k). RANK is NOT eligible:
+    ties can keep more than k rows per key, which topk_per_group's
+    positional cut would drop."""
+    if not isinstance(q, Bin) or q.op not in ("<=", "<", "="):
+        return None
+    w, lit = q.left, q.right
+    if not isinstance(w, Win) or not isinstance(lit, Lit):
+        return None
+    if w.func.name != "ROW_NUMBER" or not isinstance(lit.value, int):
+        return None
+    k = {"<=": lit.value, "<": lit.value - 1, "=": 1}[q.op]
+    if q.op == "=" and lit.value != 1:
+        return None
+    return (w, k) if k >= 1 and w.order_by and w.partition_by else None
+
+
 def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
     """Window plan: project base expressions → dispatch each distinct
     window call to the matching stages/window operator (bucketed
@@ -2094,6 +2203,19 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
     from sous_chef_ray.stages.window import (
         with_first_last, with_lag_lead, with_rank, with_row_number,
         with_running_sum)
+
+    # QUALIFY: `ROW_NUMBER() OVER (...) <= k` whose window the select
+    # list doesn't need compiles to topk_per_group (the filter runs
+    # INSIDE the bucket stage, so only k rows per key flow downstream);
+    # any other predicate computes its window columns like the select
+    # wins and filters the stream afterward (SQL evaluation order)
+    topk = None
+    if sel.qualify is not None:
+        topk = _qualify_topk(sel.qualify)
+        if topk is not None and topk[0] in wins:
+            topk = None  # select list needs the rn column anyway
+        if topk is None:
+            wins = wins + _find(sel.qualify, Win)
 
     uniq: List[Win] = []
     for w in wins:
@@ -2124,6 +2246,16 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
     for e, _ in sel.order_by:
         for c in _find(e, Col):
             col_for(c, "c")
+    if sel.qualify is not None:
+        for c in _find(sel.qualify, Col):
+            col_for(c, "c")
+
+    tk_args = None
+    if topk is not None:
+        tw, tk = topk
+        tk_args = ([col_for(p, "p") for p in tw.partition_by],
+                   [col_for(o, "o") for o, _ in tw.order_by],
+                   [d for _, d in tw.order_by], tk)
 
     plans = []  # (win, out_col, dispatch closure args)
     for i, w in enumerate(uniq):
@@ -2168,21 +2300,40 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
         elif fname in ("FIRST_VALUE", "LAST_VALUE"):
             if any(descs):
                 raise ValueError("FIRST/LAST_VALUE with DESC unsupported")
-            if fname == "LAST_VALUE" and w.frame != "full_partition":
-                # SQL's default frame ends at the current row, where
-                # LAST_VALUE degenerates to the row itself — require the
-                # explicit whole-partition frame instead of silently
-                # computing the wrong thing
+            if fname == "LAST_VALUE" and w.frame is None:
+                # SQL's DEFAULT frame is RANGE UNBOUNDED PRECEDING →
+                # CURRENT ROW: the frame ends at the current row's last
+                # ORDER-BY peer, so LAST_VALUE is peers-aware (NOT the
+                # row itself, NOT the partition's last row)
+                from sous_chef_ray.stages.window import \
+                    with_last_value_peers
+
+                out = with_last_value_peers(
+                    out, part_cols, order_cols, arg_col, name=out_col,
+                    num_buckets=num_buckets)
+            elif (fname == "LAST_VALUE"
+                  and w.frame == "rows_unbounded_preceding"):
+                # ROWS frame ending at the current row: LAST_VALUE is
+                # the current row's own value — a column copy
+                out = out.map_batches(
+                    lambda t, _a=arg_col, _o=out_col:
+                        t.append_column(_o, t[_a]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            elif fname == "LAST_VALUE" and w.frame != "full_partition":
                 raise ValueError(
-                    "LAST_VALUE requires ROWS BETWEEN UNBOUNDED PRECEDING "
-                    "AND UNBOUNDED FOLLOWING")
-            out = with_first_last(
-                out, part_cols, order_cols, arg_col,
-                first_name=out_col if fname == "FIRST_VALUE" else "__drop_f",
-                last_name=out_col if fname == "LAST_VALUE" else "__drop_l",
-                num_buckets=num_buckets)
-            out = out.drop_columns(
-                ["__drop_f" if fname == "LAST_VALUE" else "__drop_l"])
+                    "LAST_VALUE supports the default frame, ROWS "
+                    "UNBOUNDED PRECEDING, or ROWS BETWEEN UNBOUNDED "
+                    "PRECEDING AND UNBOUNDED FOLLOWING")
+            else:
+                out = with_first_last(
+                    out, part_cols, order_cols, arg_col,
+                    first_name=(out_col if fname == "FIRST_VALUE"
+                                else "__drop_f"),
+                    last_name=(out_col if fname == "LAST_VALUE"
+                               else "__drop_l"),
+                    num_buckets=num_buckets)
+                out = out.drop_columns(
+                    ["__drop_f" if fname == "LAST_VALUE" else "__drop_l"])
         elif fname == "SUM" and w.frame == "rows_unbounded_preceding":
             if any(descs):
                 raise ValueError("running SUM with DESC unsupported")
@@ -2239,6 +2390,38 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
             out = out.drop_columns([v for k, v in names.items()
                                     if v != out_col])
         elif (fname in ("SUM", "AVG", "COUNT")
+              and isinstance(w.frame, tuple) and w.frame[0] == "range"):
+            # time-RANGE moving window: RANGE BETWEEN <INTERVAL|n>
+            # PRECEDING AND CURRENT ROW → searchsorted rolling kernel
+            # (one shuffle; peers share frames per SQL RANGE semantics)
+            from sous_chef_ray.stages.window import with_rolling_time_sum
+
+            if len(order_cols) != 1 or any(descs):
+                raise ValueError("RANGE frames need a single ASC "
+                                 "ORDER BY key")
+            if arg_col is None:
+                raise ValueError(f"RANGE-frame {fname} needs a column "
+                                 "argument (COUNT(*) unsupported)")
+            sum_nm = out_col if fname == "SUM" else f"{out_col}_s"
+            cnt_nm = out_col if fname == "COUNT" else f"{out_col}_n"
+            if fname == "AVG":
+                sum_nm, cnt_nm = f"{out_col}_s", f"{out_col}_n"
+            out = with_rolling_time_sum(
+                out, part_cols, order_cols[0], arg_col,
+                interval=w.frame[1], sum_name=sum_nm, cnt_name=cnt_nm,
+                num_buckets=num_buckets)
+            if fname == "AVG":
+                def _divr(t: pa.Table, _s=sum_nm, _n=cnt_nm, _o=out_col):
+                    v = pc.divide(pc.cast(t[_s], pa.float64()),
+                                  pc.cast(t[_n], pa.float64()))
+                    return t.append_column(_o, v).drop_columns([_s, _n])
+
+                out = out.map_batches(_divr, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            else:
+                out = out.drop_columns(
+                    [cnt_nm if fname == "SUM" else sum_nm])
+        elif (fname in ("SUM", "AVG", "COUNT")
               and isinstance(w.frame, tuple) and w.frame[0] == "rows"):
             # moving frame: ROWS BETWEEN n PRECEDING AND {CURRENT ROW |
             # m FOLLOWING} → prefix-sum rolling kernel (one shuffle)
@@ -2274,6 +2457,16 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
                              f"(frame={w.frame})")
 
     mapping = {w: Col(oc) for (w, oc, *_rest) in plans}
+    if tk_args is not None:
+        from sous_chef_ray.stages.window import topk_per_group
+
+        tp, to, td, tk = tk_args
+        out = topk_per_group(out, tp, to, tk, descending=td,
+                             num_buckets=num_buckets)
+    elif sel.qualify is not None:
+        out = out.map_batches(
+            _filter_fn(_replace(sel.qualify, mapping)),
+            batch_format="pyarrow", zero_copy_batch=True)
     named = [(_out_name(a, e), _replace(e, mapping)) for a, e in sel.items]
     final = out.map_batches(_project_fn(named), batch_format="pyarrow",
                             zero_copy_batch=True)

@@ -3,7 +3,9 @@
 * ``hash_join`` — both sides large: Ray Data's hash-partitioned
   ``Dataset.join`` (inner / left_outer / right_outer / full_outer).
 * ``broadcast_join`` — small dimension side: ``ray.put`` the dim table
-  ONCE, read it once per actor in ``__init__``, pandas-merge per batch.
+  ONCE, index it once per actor in ``__init__``, Arrow-native gather
+  (``pc.index_in`` + null-masked ``Table.take``) per batch — zero
+  pandas round-trip, so list/token columns cross the stage zero-copy.
   No shuffle of the big side — the correct shape for dim tables at
   100 TB fact scale.
 * ``semi_join`` / ``anti_join`` — broadcast the key set and filter
@@ -14,6 +16,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -45,25 +48,121 @@ def hash_join(
     )
 
 
-class _BroadcastMerge:
-    def __init__(self, dim_ref, on, right_on, how, suffix):
-        dim: pd.DataFrame = ray.get(dim_ref)
-        self.dim = dim
-        self.on = on
-        self.right_on = right_on
+def _key_array(t: pa.Table, cols: List[str]) -> pa.Array:
+    """ONE lookup key per row: the column itself (single key, any type,
+    zero-copy) or the injective composite string (multi-key)."""
+    from sous_chef_ray.stages._util import composite_key_strings
+
+    if len(cols) == 1:
+        a = t[cols[0]]
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    k = composite_key_strings([t[c] for c in cols])
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
+class DimIndex:
+    """Hash index over a broadcast dim table for Arrow-native gather
+    joins (built ONCE per actor in ``__init__`` of the merge stage).
+
+    Layout: dim rows sorted by key-code; ``starts``/``counts`` give each
+    unique key's run, so one-to-many matches expand with ``np.repeat``
+    (no Python loop, no pandas).  Null-keyed dim rows are dropped up
+    front — SQL equi-joins never match NULL = NULL."""
+
+    def __init__(self, dim: pa.Table, right_on: Optional[List[str]],
+                 how: str, drop_keys: frozenset = frozenset(),
+                 suffix: str = "_r"):
         self.how = how
         self.suffix = suffix
+        if how == "cross":
+            self.payload = dim.combine_chunks()
+            return
+        key = _key_array(dim, right_on)
+        valid = pc.is_valid(key)
+        if not pc.all(valid).as_py():
+            dim = dim.filter(valid)
+            key = key.filter(valid)
+        self.uniq = pc.unique(key)
+        codes = pc.index_in(key, value_set=self.uniq).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        payload = dim.drop_columns(
+            [c for c in right_on if c in drop_keys])
+        self.unique_keys = len(self.uniq) == len(dim)
+        if self.unique_keys:
+            # common dim shape: key → exactly one row; row i of the
+            # code-ordered payload is the row whose key has code i
+            order = np.argsort(codes, kind="stable")
+            self.payload = payload.take(pa.array(order)).combine_chunks()
+            self.starts = self.counts = None
+        else:
+            order = np.argsort(codes, kind="stable")
+            self.payload = payload.take(pa.array(order)).combine_chunks()
+            self.counts = np.bincount(codes, minlength=len(self.uniq))
+            self.starts = np.zeros(len(self.uniq) + 1, np.int64)
+            np.cumsum(self.counts, out=self.starts[1:])
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _codes(self, batch: pa.Table, on: List[str]) -> np.ndarray:
+        bkey = _key_array(batch, on)
+        if bkey.type != self.uniq.type:
+            bkey = pc.cast(bkey, self.uniq.type)
+        arr = pc.index_in(bkey, value_set=self.uniq)
+        return pc.fill_null(arr, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    def merge(self, batch: pa.Table, on: Optional[List[str]]) -> pa.Table:
         if self.how == "cross":
-            return batch.merge(self.dim, how="cross", suffixes=("", self.suffix))
-        return batch.merge(
-            self.dim,
-            how=self.how,
-            left_on=self.on,
-            right_on=self.right_on,
-            suffixes=("", self.suffix),
-        )
+            n, m = len(batch), len(self.payload)
+            left = batch.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+            gather = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+            return self._attach(left, self.payload.take(gather))
+        code = self._codes(batch, on)
+        matched = code >= 0
+        if self.unique_keys:
+            if self.how == "left":
+                gather = pa.array(code, mask=~matched)
+                return self._attach(batch, self.payload.take(gather))
+            keep = np.nonzero(matched)[0]
+            if len(keep) != len(batch):
+                batch = batch.take(pa.array(keep))
+                code = code[keep]
+            return self._attach(batch, self.payload.take(pa.array(code)))
+        cnt = np.where(matched, self.counts[np.where(matched, code, 0)], 0)
+        out_cnt = np.where(matched, cnt, 1) if self.how == "left" else cnt
+        total = int(out_cnt.sum())
+        left_idx = np.repeat(np.arange(len(batch), dtype=np.int64), out_cnt)
+        base = np.repeat(
+            np.where(matched, self.starts[np.where(matched, code, 0)], -1),
+            out_cnt)
+        run_start = np.zeros(len(batch), np.int64)
+        np.cumsum(out_cnt[:-1], out=run_start[1:])
+        offs = np.arange(total, dtype=np.int64) - np.repeat(run_start, out_cnt)
+        gidx = base + offs  # -1 stays -1: unmatched left rows (offs == 0)
+        gather = pa.array(gidx, mask=gidx < 0)
+        return self._attach(batch.take(pa.array(left_idx)),
+                            self.payload.take(gather))
+
+    def _attach(self, left: pa.Table, right: pa.Table) -> pa.Table:
+        names = set(left.column_names)
+        for c in right.column_names:
+            col = right[c]
+            left = left.append_column(
+                c if c not in names else c + self.suffix, col)
+        return left
+
+
+class _BroadcastMerge:
+    def __init__(self, dim_ref, on, right_on, how, suffix):
+        dim = ray.get(dim_ref)
+        if isinstance(dim, pd.DataFrame):
+            dim = pa.Table.from_pandas(dim, preserve_index=False)
+        drop = frozenset() if how == "cross" else frozenset(
+            r for l_, r in zip(on, right_on) if l_ == r)
+        self.idx = DimIndex(dim, right_on, how, drop_keys=drop,
+                            suffix=suffix)
+        self.on = on
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.idx.merge(batch, self.on)
 
 
 def broadcast_join(
@@ -75,9 +174,17 @@ def broadcast_join(
     suffix: str = "_r",
     concurrency: int | tuple = 4,
 ) -> "rd.Dataset":
-    """Join a streaming big side against a broadcast in-memory dim table."""
-    if isinstance(dim, pa.Table):
-        dim = dim.to_pandas()
+    """Join a streaming big side against a broadcast in-memory dim table.
+
+    Arrow-native: the dim side ships through the object store once; the
+    per-batch work is ``pc.index_in`` (hash probe) + two ``Table.take``
+    gathers — batches never convert to pandas, so nested/list columns
+    stay zero-copy and NUL-containing string keys join exactly.  Same-
+    named key columns collapse to the big side's copy (pandas-merge
+    parity); differently-named dim keys are kept (null-extended under
+    ``how="left"``, matching SQL)."""
+    if isinstance(dim, pd.DataFrame):
+        dim = pa.Table.from_pandas(dim, preserve_index=False)
     if how != "cross":
         on = [on] if isinstance(on, str) else list(on)
         right_on = (
@@ -89,7 +196,8 @@ def broadcast_join(
         fn_constructor_kwargs=dict(
             dim_ref=dim_ref, on=on, right_on=right_on, how=how, suffix=suffix
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         concurrency=pool(concurrency),
     )
 

@@ -197,6 +197,42 @@ def with_first_last(
     return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
 
 
+def with_last_value_peers(
+    ds: "rd.Dataset",
+    partition_by: List[str] | str,
+    order_by: List[str] | str,
+    col: str,
+    name: str = "last_value",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """LAST_VALUE under SQL's DEFAULT frame (``RANGE BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW``): the frame ends at the current row's
+    last ORDER-BY *peer*, so every row gets the column value at the last
+    row sharing its (key, order) values. One sort per bucket; the peer
+    run end is a reversed ``np.minimum.accumulate`` over value-change
+    boundaries — same O(n) kernel family as ``with_first_last``."""
+    keys, order = _as_list(partition_by), _as_list(order_by)
+
+    def fn(t: pa.Table) -> pa.Table:
+        t, key_change, _, arange = _sorted_with_bounds(t, keys, order, False)
+        n = len(t)
+        val_change = key_change.copy()
+        for o in order:
+            ov = t[o].to_numpy(zero_copy_only=False)
+            val_change[1:] |= ov[1:] != ov[:-1]
+        run_end = np.zeros(n, dtype=np.int64)
+        if n:
+            last = np.zeros(n, dtype=bool)
+            last[-1] = True
+            last[:-1] = val_change[1:]
+            run_end = np.minimum.accumulate(
+                np.where(last, arange, n)[::-1])[::-1]
+        c = t[col].combine_chunks()
+        return t.append_column(name, c.take(pa.array(run_end)))
+
+    return partition_apply(ds, keys, fn, num_buckets, batch_format="pyarrow")
+
+
 def with_nth_value(
     ds: "rd.Dataset",
     partition_by: List[str] | str,
@@ -297,7 +333,15 @@ def with_rolling_time_sum(
 
     keys = _as_list(partition_by)
     order = [ts_col] + ([tie_by] if tie_by else [])
-    ivl_us = int(pd.Timedelta(interval).value // 1000)
+    if (isinstance(interval, (int, np.integer))
+            and not isinstance(interval, np.timedelta64)):
+        # numeric RANGE over an integer ORDER BY column: the bound is
+        # already in the column's own units (NB: np.timedelta64 IS an
+        # np.integer subclass — exclude it or its raw ns count would be
+        # read as µs)
+        ivl_us = int(interval)
+    else:
+        ivl_us = int(pd.Timedelta(interval).value // 1000)
 
     def fn(t: pa.Table) -> pa.Table:
         t, key_change, group_start, arange = _sorted_with_bounds(t, keys, order, False)

@@ -197,7 +197,8 @@ def test_unsupported_constructs_raise():
     with pytest.raises(ValueError):
         sql_execute(
             "SELECT LAST_VALUE(value) OVER (PARTITION BY user_id "
-            "ORDER BY ts) AS lv FROM events", SF)  # default frame ≠ whole partition
+            "ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+            "AS lv FROM events", SF)  # moving LAST_VALUE frame
     with pytest.raises((ValueError, KeyError)):
         sql_execute("SELECT user_id, CORR(value, value) AS c FROM events "
                     "GROUP BY user_id", SF)
@@ -451,3 +452,137 @@ def test_left_join_on_right_predicate(con):
     g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     e = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=True)
+
+
+def run_both_paths(con, sql: str) -> None:
+    """Assert the compiled plan matches DuckDB on BOTH physical join
+    paths (dim broadcast and hash shuffle)."""
+    import ray.data as rd
+    from sous_chef_ray.sqlexec import sql_execute as ex
+
+    exp = con.execute(sql).df()
+    for kw in ({}, {"broadcast_rows": 0}):
+        got = ex(sql, SF, **kw)
+        got = got.to_pandas() if isinstance(got, rd.Dataset) else got
+        cols = sorted(got.columns)
+        assert cols == sorted(exp.columns), (kw, cols, sorted(exp.columns))
+        g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        e = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_left_join_same_named_key_null_extends(con):
+    """ADVICE r5 (high): with same-named equi-keys, the right side's key
+    must null-extend independently of the left's — `b.k IS NULL` is the
+    SQL anti-join idiom and must NOT be answered from the left key."""
+    run_both_paths(con, (
+        "SELECT a.k FROM (SELECT o_custkey AS k FROM orders) a "
+        "LEFT JOIN (SELECT c_custkey AS k FROM customer "
+        "           WHERE c_custkey < 50) b "
+        "ON a.k = b.k WHERE b.k IS NULL"))
+    run_both_paths(con, (
+        "SELECT a.k AS ak, b.k AS bk "
+        "FROM (SELECT o_custkey AS k FROM orders) a "
+        "LEFT JOIN (SELECT c_custkey AS k FROM customer "
+        "           WHERE c_custkey < 50) b ON a.k = b.k"))
+
+
+def test_left_join_residual_on_dropped_right_key(con):
+    """ADVICE r5 (medium): residual WHERE conjuncts naming a right key
+    the physical join dropped must be rewritten to its keep-alive copy."""
+    run_both_paths(con, (
+        "SELECT c.c_custkey FROM customer c LEFT JOIN "
+        "(SELECT o_orderkey, o_custkey FROM orders "
+        " WHERE o_custkey < 50) o "
+        "ON c.c_custkey = o.o_custkey WHERE o.o_custkey IS NULL"))
+
+
+def test_in_subquery_with_null_projected(con):
+    """ADVICE r5 (low): non-negated IN over a key set containing NULL is
+    three-valued — a non-match projects as NULL, not FALSE."""
+    run_both_paths(con, (
+        "SELECT o_orderkey, o_custkey IN "
+        "(SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END "
+        " AS k FROM customer) AS f FROM orders"))
+
+
+def test_global_quantile_empty_input(con):
+    """ADVICE r5 (low): global quantile over zero rows returns NULL like
+    SUM/AVG instead of raising IndexError."""
+    run_both(con, ("SELECT MEDIAN(l_quantity) AS m FROM lineitem "
+                   "WHERE l_quantity < 0"))
+
+
+def test_rank_window_null_partition_key(con):
+    """ADVICE r5 (low): PARTITION BY groups NULL keys together — the
+    pandas NaN != NaN row-change detector must not split them."""
+    run_both_paths(con, (
+        "SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END "
+        "AS rk, n_nationkey, COUNT(*) AS n, "
+        "RANK() OVER (PARTITION BY CASE WHEN n_regionkey = 0 THEN NULL "
+        "ELSE n_regionkey END ORDER BY n_nationkey) AS r "
+        "FROM nation GROUP BY 1, 2"))
+
+
+def test_qualify_topk_and_rank(con):
+    """QUALIFY (round-5): ROW_NUMBER <= k takes the topk_per_group fast
+    path; RANK = 1 keeps ties via the general compute-then-filter path.
+    Same string runs in DuckDB."""
+    run_both(con, (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 3"))
+    run_both(con, (
+        "SELECT o_custkey, o_orderkey FROM orders "
+        "QUALIFY RANK() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate) = 1"))
+
+
+def test_time_range_frame(con):
+    """RANGE BETWEEN INTERVAL n PRECEDING AND CURRENT ROW (round-5):
+    searchsorted rolling kernel; integer-cents for exactness."""
+    run_both(con, (
+        "SELECT event_id, user_id, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS r1h_cents, "
+        "CAST(COUNT(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS r1h_n FROM events"))
+
+
+def test_last_value_default_and_rows_frames(con):
+    """LAST_VALUE no longer raises under the default frame; the three
+    supported frames all match DuckDB (unique ORDER BY)."""
+    for frame in ("",
+                  " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                  " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                  "FOLLOWING",
+                  " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"):
+        run_both(con, (
+            "SELECT o_orderkey, LAST_VALUE(o_orderkey) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            f"{frame}) AS lv FROM orders"))
+
+
+def test_last_value_peers_with_ties(ray_session):
+    """Tie-heavy peers case, pinned engine-side (SQL engines disagree on
+    WHICH peer row supplies the value when the argument varies within a
+    peer group, so the DuckDB oracle uses unique ORDER BY instead):
+    every row in a peer group gets the group's LAST row's value under
+    the bucket sort, and peer groups never leak across ORDER BY values."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.window import with_last_value_peers
+
+    t = pa.table({
+        "k": [1, 1, 1, 1, 2, 2],
+        "o": [10, 10, 20, 20, 10, 30],
+        "v": [100, 101, 200, 201, 300, 301],
+    })
+    out = with_last_value_peers(
+        rd.from_arrow(t), "k", "o", "v", name="lv", num_buckets=2
+    ).to_pandas().sort_values(["k", "o", "v"]).reset_index(drop=True)
+    # peers (k=1, o=10) → last row of that run; runs don't cross o=20
+    assert list(out["lv"]) == [101, 101, 201, 201, 300, 301]
