@@ -194,7 +194,8 @@ def headline(num_cpus: int) -> dict:
 
     import ray.data as rd
 
-    from sous_chef_ray.pipelines.materialize import materialize_features, window_features
+    from sous_chef_ray.pipelines.materialize import (
+        materialize_features, window_features_resumable)
 
     spine = pq.read_table(SPINE_CACHE)
 
@@ -210,15 +211,19 @@ def headline(num_cpus: int) -> dict:
     pool = max(2, num_cpus // 2)
 
     t0 = time.time()
-    ds = rd.read_parquet(
-        TOKEN_CACHE, columns=["doc_id", "n_tok", "source", "event_ts", "created_ts"]
-    )
-    feat = window_features(
-        ds, key="doc_id", ts_col="event_ts", tie_col="created_ts",
+    # the write goes through the checkpoint manifest (north rule: the
+    # backfill itself resumes exactly-once per bucket; overhead =
+    # in-task checksum + one manifest line per bucket — see BASELINE.md)
+    window_features_resumable(
+        lambda: rd.read_parquet(
+            TOKEN_CACHE,
+            columns=["doc_id", "n_tok", "source", "event_ts", "created_ts"],
+        ),
+        out_dir,
+        key="doc_id", ts_col="event_ts", tie_col="created_ts",
         value_col="n_tok", session_gap=pd.Timedelta(hours=6),
         num_buckets=max(64, num_cpus * 4),
     )
-    feat.write_parquet(out_dir)
     t_window = time.time() - t0
 
     t1 = time.time()

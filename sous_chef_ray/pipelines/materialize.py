@@ -218,3 +218,51 @@ def flagship(sf_dir: str, concurrency: int | tuple = 4) -> pa.Table:
         ttl=pd.Timedelta(days=30),
         concurrency=concurrency,
     )
+
+
+def window_features_resumable(
+    ds_factory,
+    out_dir: str,
+    *,
+    key: str = "doc_id",
+    ts_col: str = "event_ts",
+    tie_col: str = "created_ts",
+    value_col: str = "n_tok",
+    session_gap: pd.Timedelta = None,
+    num_buckets: int = 128,
+    manifest_path: str = None,
+):
+    """The flagship window-feature materialization written through the
+    checkpoint manifest (north rule: the 10^12-row backfill itself must
+    resume exactly-once). doc_ids straddle input shards, so the resume
+    unit is the HASH BUCKET: completed buckets are skipped via the
+    manifest; a resume scans the input once and processes only rows
+    whose bucket is still missing (the same ``bucket_ids`` hash that
+    partition_apply shuffles by, so filter and shuffle agree).
+
+    ``ds_factory`` is a zero-arg callable returning a fresh input
+    Dataset (a resume needs to rebuild the read). Returns the manifest's
+    partition records; the features land in ``out_dir/part=<bucket>/``.
+    """
+    from sous_chef_ray.stages.partition import bucket_ids
+    from sous_chef_ray.state.manifest import write_bucketed_resumable
+
+    def build(missing):
+        ds = ds_factory()
+        if missing is not None:
+            want = np.sort(np.fromiter(missing, dtype=np.int64))
+
+            def flt(t: pa.Table) -> pa.Table:
+                b = bucket_ids(t, [key], num_buckets)
+                return t.filter(pa.array(np.isin(b, want)))
+
+            ds = ds.map_batches(flt, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        return window_features(
+            ds, key=key, ts_col=ts_col, tie_col=tie_col,
+            value_col=value_col, session_gap=session_gap,
+            num_buckets=num_buckets)
+
+    return write_bucketed_resumable(
+        build, [key], out_dir, num_buckets,
+        manifest_path=manifest_path, sort_by=[key, ts_col, tie_col])

@@ -53,9 +53,45 @@ def _buckets(sf_dir: str, table: str, min_buckets: int = 8) -> int:
     return auto_num_buckets(sz, min_buckets=min_buckets)
 
 
+def _partitions(sf_dir: str, *tables: str) -> int:
+    """Hash-join / distributed-verify partition count: scale with the
+    LARGER input's on-disk bytes (same ≤512 MB-per-partition invariant as
+    _buckets) but stay within 2× the cluster CPUs — Ray's hash-shuffle
+    join schedules one aggregator actor per partition, and far more
+    actors than CPUs deadlocks actor scheduling on small clusters (the
+    round-4 compiled-Q5 observation, sqlexec.py). A fixed ``8`` silently
+    under-parallelizes at 100×; this grows with data AND cluster."""
+    import os
+
+    import ray
+
+    from sous_chef_ray.stages.partition import auto_num_buckets
+
+    sz = 0
+    for t in tables:
+        try:
+            sz = max(sz, os.path.getsize(f"{sf_dir}/{t}.parquet"))
+        except OSError:
+            pass
+    by_bytes = auto_num_buckets(sz or None, min_buckets=8)
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return max(2, min(by_bytes, cpus * 2))
+
+
 # ---------------------------------------------------------------------------
 # B2: point-in-time as-of join (flagship; broadcast-spine strategy)
 # ---------------------------------------------------------------------------
+
+
+def _asof_out(out, cols: "dict[str, str]"):
+    """Project/rename an asof_join_auto result (pa.Table under the
+    broadcast guard, streaming Dataset above it) to output columns."""
+    if isinstance(out, pa.Table):
+        return pa.table({o: out[src] for o, src in cols.items()})
+    ds = out.select_columns(list(dict.fromkeys(cols.values())))
+    return ds.rename_columns({src: o for o, src in cols.items()})
+
 
 _ASOF_SQL = """
 WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
@@ -75,7 +111,7 @@ FROM j
 def asof_last_purchase(sf_dir: str) -> pa.Table:
     """For every click, the value of the user's latest purchase at-or-before
     the click (TTL 7 days) — SURVEY §2.B2 via stages.asof."""
-    from sous_chef_ray.stages.asof import asof_join_broadcast
+    from sous_chef_ray.stages.asof import asof_join_auto
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
 
@@ -84,30 +120,28 @@ def asof_last_purchase(sf_dir: str) -> pa.Table:
         return pa.table({"user_id": t["user_id"], "fts": t["ts"], "value": t["value"]})
 
     feats = ev.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
-    spine_batches = [
-        b.filter(pc.equal(b["event_type"], "click")).select(["user_id", "ts"])
-        for b in ev.iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    spine = pa.concat_tables(spine_batches)
-    out = asof_join_broadcast(
+    # spine derived DISTRIBUTED (round-5 VERDICT: never iter_batches the
+    # raw table to the driver); asof_join_auto gathers it only under the
+    # measured broadcast guard, else routes to the co-partitioned plan
+    spine_ds = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join_auto(
         feats,
-        spine,
+        spine_ds,
         key="user_id",
         spine_ts="ts",
         feature_ts="fts",
         tie_col=None,
         payload_cols=["value"],
         ttl=pd.Timedelta(days=7),
+        num_buckets=_buckets(sf_dir, "events"),
         concurrency=2,
         batch_size=8192,
     )
-    return pa.table(
-        {
-            "user_id": out["user_id"],
-            "ts": out["ts"],
-            "last_purchase_value": out["value"],
-        }
-    )
+    return _asof_out(out, {"user_id": "user_id", "ts": "ts",
+                           "last_purchase_value": "value"})
 
 
 _ASOF_FWD_SQL = """
@@ -130,9 +164,9 @@ FROM j
 def asof_next_click(sf_dir: str) -> pa.Table:
     """FORWARD as-of: for every purchase, the value of the user's FIRST
     click at-or-after it (lookahead TTL 7 days; equal-ts ties break to
-    the largest event_id) — asof_join_broadcast(direction='forward'),
+    the largest event_id) — asof_join_auto(direction='forward'),
     same two-pass streaming plan as the backward flagship."""
-    from sous_chef_ray.stages.asof import asof_join_broadcast
+    from sous_chef_ray.stages.asof import asof_join_auto
 
     ev = _read(sf_dir, "events",
                columns=["user_id", "ts", "event_type", "event_id", "value"])
@@ -143,31 +177,26 @@ def asof_next_click(sf_dir: str) -> pa.Table:
                          "event_id": t["event_id"], "value": t["value"]})
 
     feats = ev.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
-    spine_batches = [
-        b.filter(pc.equal(b["event_type"], "purchase")).select(["user_id", "ts"])
-        for b in ev.iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    spine = pa.concat_tables(spine_batches)
-    out = asof_join_broadcast(
+    spine_ds = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join_auto(
         feats,
-        spine,
+        spine_ds,
         key="user_id",
         spine_ts="ts",
         feature_ts="fts",
         tie_col="event_id",
         payload_cols=["value"],
         ttl=pd.Timedelta(days=7),
+        num_buckets=_buckets(sf_dir, "events"),
         concurrency=2,
         batch_size=8192,
         direction="forward",
     )
-    return pa.table(
-        {
-            "user_id": out["user_id"],
-            "ts": out["ts"],
-            "next_click_value": out["value"],
-        }
-    )
+    return _asof_out(out, {"user_id": "user_id", "ts": "ts",
+                           "next_click_value": "value"})
 
 
 _ASOF_NEAREST_SQL = """
@@ -200,9 +229,9 @@ def asof_nearest_click(sf_dir: str) -> pa.Table:
     """NEAREST as-of: for every purchase, the click closest in time
     (either side, symmetric 7-day TTL; equidistant ties prefer the
     backward match, equal-ts ties the largest event_id) —
-    asof_join_broadcast(direction='nearest'), verified against a
+    asof_join_auto(direction='nearest'), verified against a
     dual-ASOF DuckDB oracle that applies the same preference rules."""
-    from sous_chef_ray.stages.asof import asof_join_broadcast
+    from sous_chef_ray.stages.asof import asof_join_auto
 
     ev = _read(sf_dir, "events",
                columns=["user_id", "ts", "event_type", "event_id", "value"])
@@ -213,31 +242,26 @@ def asof_nearest_click(sf_dir: str) -> pa.Table:
                          "event_id": t["event_id"], "value": t["value"]})
 
     feats = ev.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
-    spine_batches = [
-        b.filter(pc.equal(b["event_type"], "purchase")).select(["user_id", "ts"])
-        for b in ev.iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    spine = pa.concat_tables(spine_batches)
-    out = asof_join_broadcast(
+    spine_ds = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join_auto(
         feats,
-        spine,
+        spine_ds,
         key="user_id",
         spine_ts="ts",
         feature_ts="fts",
         tie_col="event_id",
         payload_cols=["value"],
         ttl=pd.Timedelta(days=7),
+        num_buckets=_buckets(sf_dir, "events"),
         concurrency=2,
         batch_size=8192,
         direction="nearest",
     )
-    return pa.table(
-        {
-            "user_id": out["user_id"],
-            "ts": out["ts"],
-            "nearest_click_value": out["value"],
-        }
-    )
+    return _asof_out(out, {"user_id": "user_id", "ts": "ts",
+                           "nearest_click_value": "value"})
 
 
 _ASOF_MULTIKEY_SQL = """
@@ -265,7 +289,7 @@ def asof_prev_shipment_multikey(sf_dir: str) -> pa.Table:
     shipment of the same (l_partkey, l_suppkey) at-or-before its shipdate
     (equal-date ties → largest l_orderkey). Exercises the composite-key
     path (key=[...] composes an injective synthetic key on both sides)."""
-    from sous_chef_ray.stages.asof import asof_join_broadcast
+    from sous_chef_ray.stages.asof import asof_join_auto
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_suppkey", "l_linenumber",
@@ -280,31 +304,25 @@ def asof_prev_shipment_multikey(sf_dir: str) -> pa.Table:
         })
 
     feats = li.map_batches(to_feats, batch_format="pyarrow", zero_copy_batch=True)
-    spine_batches = [
-        b.filter(pc.equal(b["l_linenumber"], 1)).select(
-            ["l_partkey", "l_suppkey", "l_shipdate"])
-        for b in li.iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    spine = pa.concat_tables(spine_batches)
-    out = asof_join_broadcast(
+    spine_ds = li.map_batches(
+        lambda t: t.filter(pc.equal(t["l_linenumber"], 1))
+                   .select(["l_partkey", "l_suppkey", "l_shipdate"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join_auto(
         feats,
-        spine,
+        spine_ds,
         key=["l_partkey", "l_suppkey"],
         spine_ts="l_shipdate",
         feature_ts="fts",
         tie_col="l_orderkey",
         payload_cols=["l_quantity"],
+        num_buckets=_buckets(sf_dir, "lineitem"),
         concurrency=2,
         batch_size=8192,
     )
-    return pa.table(
-        {
-            "l_partkey": out["l_partkey"],
-            "l_suppkey": out["l_suppkey"],
-            "l_shipdate": out["l_shipdate"],
-            "prev_shipment_qty": out["l_quantity"],
-        }
-    )
+    return _asof_out(out, {
+        "l_partkey": "l_partkey", "l_suppkey": "l_suppkey",
+        "l_shipdate": "l_shipdate", "prev_shipment_qty": "l_quantity"})
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +600,7 @@ def orders_customer_nation(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
     joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                       join_type="inner", num_partitions=8)
+                       join_type="inner", num_partitions=_partitions(sf_dir, "orders", "customer"))
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
@@ -609,7 +627,7 @@ def customer_left_join_orders(sf_dir: str):
         lambda t: t.filter(pc.greater(t["o_totalprice"], 100000.0)),
         batch_format="pyarrow", zero_copy_batch=True)
     out = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
-                    join_type="left_outer", num_partitions=8)
+                    join_type="left_outer", num_partitions=_partitions(sf_dir, "orders", "customer"))
     return out.select_columns(["c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"])
 
 
@@ -1928,7 +1946,7 @@ def click_purchase_full_outer(sf_dir: str):
     p = counts("purchase", "n_purchases")
     # Ray's full_outer join coalesces the key column automatically
     return hash_join(c, p, on="user_id", join_type="full_outer",
-                     num_partitions=8)
+                     num_partitions=_partitions(sf_dir, "events"))
 
 
 _MOMENTS_SQL = """
@@ -2027,7 +2045,7 @@ def shipping_priority_q3(sf_dir: str):
     li_r = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
     joined = hash_join(li_r, orders_b.select_columns(["o_orderkey", "o_orderdate"]),
                        on="l_orderkey", right_on="o_orderkey",
-                       join_type="inner", num_partitions=8)
+                       join_type="inner", num_partitions=_partitions(sf_dir, "lineitem", "orders"))
     return (
         joined.groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
@@ -2078,7 +2096,7 @@ def large_volume_orders_q18(sf_dir: str):
                    columns=["o_orderkey", "o_custkey", "o_orderdate",
                             "o_totalprice"])
     j = hash_join(big, orders, on="l_orderkey", right_on="o_orderkey",
-                  num_partitions=8).rename_columns({"l_orderkey": "o_orderkey"})
+                  num_partitions=_partitions(sf_dir, "lineitem", "orders")).rename_columns({"l_orderkey": "o_orderkey"})
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -2193,7 +2211,7 @@ def clicks_in_purchase_window(sf_dir: str):
         pts, ivs, key="user_id", point_ts="click_ts",
         start_ts="win_start", end_ts="win_end",
         granule=pd.Timedelta(days=2), point_cols=["click_id"],
-        interval_cols=["purchase_id"], num_partitions=8,
+        interval_cols=["purchase_id"], num_partitions=_partitions(sf_dir, "events"),
     )
     return out.select_columns(["user_id", "click_id", "click_ts", "purchase_id"])
 
@@ -2680,7 +2698,7 @@ def minhash_neardup_pairs(sf_dir: str):
         docs, "doc_id", "text", k=3, num_hashes=64, bands=16, concurrency=2
     )
     out = jaccard_verify_distributed(
-        cand, docs, "doc_id", "text", k=3, threshold=0.5, num_partitions=8,
+        cand, docs, "doc_id", "text", k=3, threshold=0.5, num_partitions=_partitions(sf_dir, "documents"),
         concurrency=2,
     ).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -2704,7 +2722,7 @@ def neardup_doc_clusters(sf_dir: str):
         docs, "doc_id", "text", k=3, num_hashes=64, bands=16, concurrency=2
     )
     verified = jaccard_verify_distributed(
-        cand, docs, "doc_id", "text", k=3, threshold=0.5, num_partitions=8,
+        cand, docs, "doc_id", "text", k=3, threshold=0.5, num_partitions=_partitions(sf_dir, "documents"),
         concurrency=2,
     ).select_columns(["id_a", "id_b"])
     roots = connected_components_distributed(verified).to_pandas()
@@ -3049,7 +3067,7 @@ def big_spenders_by_nation(sf_dir: str):
         .aggregate(Sum("cents", alias_name="cents"))
     )
     joined = hash_join(spend, cust, on="o_custkey", right_on="c_custkey",
-                       join_type="inner", num_partitions=8)
+                       join_type="inner", num_partitions=_partitions(sf_dir, "orders", "customer"))
     big = joined.map_batches(
         lambda t: t.filter(pc.greater(t["cents"], 50000000)),
         batch_format="pyarrow",
@@ -3218,7 +3236,7 @@ def order_priority_q4(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
     j = hash_join(orders, max_ship, on="o_orderkey", right_on="l_orderkey",
-                  num_partitions=8)
+                  num_partitions=_partitions(sf_dir, "lineitem", "orders"))
 
     def late(t: pa.Table) -> pa.Table:
         od = pc.cast(t["o_orderdate"], pa.int64())
@@ -3258,7 +3276,7 @@ def customer_order_distribution_q13(sf_dir: str):
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     j = hash_join(cust, counts, on="c_custkey", right_on="o_custkey",
-                  join_type="left_outer", num_partitions=8)
+                  join_type="left_outer", num_partitions=_partitions(sf_dir, "orders", "customer"))
 
     def fill(t: pa.Table) -> pa.Table:
         n = pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0)
@@ -3316,7 +3334,7 @@ def promo_revenue_q14(sf_dir: str):
     slim = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
     j = hash_join(slim, part, on="l_partkey", right_on="p_partkey",
-                  num_partitions=8)
+                  num_partitions=_partitions(sf_dir, "lineitem", "part"))
 
     def split(t: pa.Table) -> pa.Table:
         promo = pc.if_else(pc.equal(t["p_type"], "PROMO"), t["rev_e4"],
@@ -3464,7 +3482,7 @@ def disjunctive_part_revenue_q19(sf_dir: str):
     slim_part = part.map_batches(part_prefilter, batch_format="pyarrow",
                                  zero_copy_batch=True)
     j = hash_join(slim_li, slim_part, on="l_partkey", right_on="p_partkey",
-                  num_partitions=8)
+                  num_partitions=_partitions(sf_dir, "lineitem", "part"))
 
     def residual(t: pa.Table) -> pa.Table:
         m = None
@@ -3867,7 +3885,7 @@ def doc_distinctive_terms(sf_dir: str):
 
     tf = docs.map_batches(tf_batch, batch_format="pandas").materialize()
     df = tf.groupby("token").aggregate(Count(alias_name="df"))
-    joined = hash_join(tf, df, on="token", num_partitions=8)
+    joined = hash_join(tf, df, on="token", num_partitions=_partitions(sf_dir, "documents"))
     top = topk_per_group(
         joined, "doc_id", ["tf", "df", "token"], k=3,
         descending=[True, False, False],
@@ -3936,7 +3954,7 @@ def local_supplier_volume_q5(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     o_c = hash_join(orders_f, cust_f, on="o_custkey", right_on="c_custkey",
-                    num_partitions=8).select_columns(
+                    num_partitions=_partitions(sf_dir, "lineitem", "orders")).select_columns(
         ["o_orderkey", "c_nationkey"]).materialize()
 
     li = _read(sf_dir, "lineitem",
@@ -3952,7 +3970,7 @@ def local_supplier_volume_q5(sf_dir: str):
 
     li_r = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(li_r, o_c, on="l_orderkey", right_on="o_orderkey",
-                  num_partitions=8)
+                  num_partitions=_partitions(sf_dir, "lineitem", "orders"))
     with_supp = broadcast_join(j, supp, on="l_suppkey", right_on="s_suppkey",
                                concurrency=2)
     same_nation = with_supp.map_batches(
@@ -4027,7 +4045,7 @@ def returned_item_revenue_q10(sf_dir: str):
     )
     per_cust = (
         hash_join(per_order, orders_f, on="l_orderkey", right_on="o_orderkey",
-                  num_partitions=8)
+                  num_partitions=_partitions(sf_dir, "lineitem", "orders"))
         .groupby("o_custkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
     )
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -4256,6 +4274,8 @@ def nation_revenue_share(sf_dir: str):
         df["share"] = df["rev_c"].astype(float) / tot.astype(float)
         return df
 
+    # key cardinality (distinct years) is a single-digit constant —
+    # buckets beyond it are empty; NOT a scale knob
     return partition_apply(agg, "o_year", share, num_buckets=8)
 
 
@@ -4341,6 +4361,8 @@ def per_source_doc_cap(sf_dir: str):
         kept = df.groupby("source", sort=False).head(10)
         return kept[["doc_id", "source"]]
 
+    # "source" has a handful of distinct values — buckets beyond key
+    # cardinality stay empty; NOT a scale knob
     return partition_apply(slim, "source", cap, num_buckets=8)
 
 
@@ -4460,6 +4482,8 @@ def doc_length_outliers(sf_dir: str):
         return (pd.concat(outs) if outs
                 else df[["doc_id", "source", "n_chars"]].iloc[:0])
 
+    # "source" has a handful of distinct values — buckets beyond key
+    # cardinality stay empty; NOT a scale knob
     return partition_apply(docs, "source", fn, num_buckets=8)
 
 
@@ -4746,7 +4770,7 @@ def volume_shipping_q7(sf_dir: str):
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     o_c = hash_join(orders, cust_f, on="o_custkey", right_on="c_custkey",
-                    num_partitions=8).select_columns(
+                    num_partitions=_partitions(sf_dir, "lineitem", "orders")).select_columns(
         ["o_orderkey", "c_nationkey"]).materialize()
 
     li = rd.read_parquet(
@@ -4768,7 +4792,7 @@ def volume_shipping_q7(sf_dir: str):
 
     li_p = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(li_p, o_c, on="l_orderkey", right_on="o_orderkey",
-                  num_partitions=8)
+                  num_partitions=_partitions(sf_dir, "lineitem", "orders"))
     with_supp = broadcast_join(j, supp, on="l_suppkey", right_on="s_suppkey",
                                concurrency=2)
 
@@ -4871,7 +4895,7 @@ def national_market_share_q8(sf_dir: str):
                 & (pads.field("o_orderdate") < pd.Timestamp("1998-01-01"))),
     )
     o_c = hash_join(orders, cust_f, on="o_custkey", right_on="c_custkey",
-                    num_partitions=8)
+                    num_partitions=_partitions(sf_dir, "lineitem", "orders"))
     o_c = o_c.map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"],
                             "o_year": pc.year(t["o_orderdate"])}),
@@ -4893,7 +4917,7 @@ def national_market_share_q8(sf_dir: str):
 
     li_p = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(li_p, o_c, on="l_orderkey", right_on="o_orderkey",
-                  num_partitions=8)
+                  num_partitions=_partitions(sf_dir, "lineitem", "orders"))
 
     def split(t: pa.Table) -> pa.Table:
         hit = pc.equal(t["supp_nation"], "NATION_1")

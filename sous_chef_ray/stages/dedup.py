@@ -23,9 +23,38 @@ import pandas as pd
 import ray.data as rd
 
 
-def _last_per_group(df: pd.DataFrame, keys: List[str], order: List[str]) -> pd.DataFrame:
-    df = df.sort_values(order, kind="mergesort")
-    return df.drop_duplicates(subset=keys, keep="last")
+def _keep_per_group(t, keys: List[str], order: List[str], keep_last: bool):
+    """One stable Arrow sort by (keys, order) then a boundary-mask filter
+    keeping each key run's first/last row — the Arrow-native equivalent
+    of pandas sort_values + drop_duplicates, without the pandas
+    round-trip (NUL-containing string keys compare exactly; pandas'
+    string hashtable silently merges them — stages/partition.py:16)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(t)
+    if n == 0:
+        return t
+    sort_keys = [(k, "ascending") for k in keys + order]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        arr = t[k].combine_chunks()
+        kv = arr.to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            neq = kv[1:] != kv[:-1]
+        # null-aware: adjacent NULL keys are the SAME group (SQL/pandas
+        # dedup semantics; raw NaN != NaN would split them per row)
+        valid = np.asarray(pc.is_valid(arr))
+        change[1:] |= np.asarray(neq) & ~(~valid[1:] & ~valid[:-1])
+    if keep_last:
+        mask = np.zeros(n, dtype=bool)
+        mask[-1] = True
+        mask[:-1] = change[1:]
+    else:
+        mask = change
+    return t.filter(pa.array(mask))
 
 
 def latest_per_key(
@@ -38,32 +67,20 @@ def latest_per_key(
     keys = [keys] if isinstance(keys, str) else list(keys)
     order = [order_by] + ([tie_by] if tie_by else [])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _last_per_group(df, keys, order)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return _last_per_group(g, keys, order)
-
-    if len(keys) == 1:
-        # one vectorized sort+drop_duplicates per BUCKET (thousands of
+    def reduce_fn(t):
+        # one vectorized sort+boundary-filter per BUCKET (thousands of
         # keys), not one Python call per group — measured ~2x on the
-        # same shuffle (see stages/partition.py)
-        from sous_chef_ray.stages.partition import partition_apply
+        # same shuffle (see stages/partition.py); multi-key buckets via
+        # the vectorized composite key
+        return _keep_per_group(t, keys, order, keep_last=True)
 
-        return partition_apply(
-            ds.map_batches(partial, batch_format="pandas"),
-            keys[0], final, num_buckets=num_buckets,
-        )
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(keys)
-        .map_groups(final, batch_format="pandas")
+    from sous_chef_ray.stages.partition import partition_apply
+
+    return partition_apply(
+        ds.map_batches(reduce_fn, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys, reduce_fn, num_buckets=num_buckets, batch_format="pyarrow",
     )
-
-
-def _first_per_group(df: pd.DataFrame, keys: List[str], order: List[str]) -> pd.DataFrame:
-    df = df.sort_values(order, kind="mergesort")
-    return df.drop_duplicates(subset=keys, keep="first")
 
 
 def exact_dedup(
@@ -77,25 +94,16 @@ def exact_dedup(
         [content_cols] if isinstance(content_cols, str) else list(content_cols)
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _first_per_group(df, content_cols, [keep_by])
+    def reduce_fn(t):
+        return _keep_per_group(t, content_cols, [keep_by], keep_last=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return _first_per_group(g, content_cols, [keep_by])
+    from sous_chef_ray.stages.partition import partition_apply
 
-    if len(content_cols) == 1:
-        # bucketed reduce: one vectorized pass per bucket instead of one
-        # Python map_groups call per distinct content value
-        from sous_chef_ray.stages.partition import partition_apply
-
-        return partition_apply(
-            ds.map_batches(partial, batch_format="pandas"),
-            content_cols[0], final, num_buckets=num_buckets,
-        )
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(content_cols)
-        .map_groups(final, batch_format="pandas")
+    return partition_apply(
+        ds.map_batches(reduce_fn, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        content_cols, reduce_fn, num_buckets=num_buckets,
+        batch_format="pyarrow",
     )
 
 

@@ -81,15 +81,48 @@ def _nul_safe_series(s: pd.Series) -> pd.Series:
     return s
 
 
+def _composite_key_series(cols) -> pd.Series:
+    """Vectorized injective multi-key → one hashable string series
+    (replaces the per-row ``df[keys].apply(tuple, axis=1)`` /
+    ``list(zip(...))`` paths — those build a Python object per ROW).
+    composite escapes the separator; nul_safe then escapes \\x00 so
+    ``hash_pandas_object``'s NUL-truncating fast path stays injective."""
+    from sous_chef_ray.stages._util import (composite_key_strings,
+                                            nul_safe_key_strings)
+
+    comp = nul_safe_key_strings(composite_key_strings(cols))
+    return pd.Series(comp.to_numpy(zero_copy_only=False))
+
+
 def add_bucket(df: pd.DataFrame, keys: List[str], num_buckets: int) -> pd.DataFrame:
+    import pyarrow as pa
+
     h = pd.util.hash_pandas_object(
         _nul_safe_series(df[keys[0]]) if len(keys) == 1
-        else df[keys].apply(tuple, axis=1),
+        else _composite_key_series([pa.array(df[k]) for k in keys]),
         index=False,
     ).to_numpy()
     df = df.copy()
     df[BUCKET_COL] = (h % np.uint64(num_buckets)).astype(np.int64)
     return df
+
+
+def bucket_ids(t, keys: List[str], num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per row of an Arrow table — THE bucketing
+    function (partition_apply's tag stage and any stage that must agree
+    with it, e.g. the resumable flagship writer recovering a block's
+    bucket id, use this same hash)."""
+    from sous_chef_ray.stages._util import nul_safe_key_strings
+
+    h = pd.util.hash_pandas_object(
+        pd.Series(
+            nul_safe_key_strings(t[keys[0]]).to_numpy(zero_copy_only=False)
+        )
+        if len(keys) == 1
+        else _composite_key_series([t[k] for k in keys]),
+        index=False,
+    ).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def partition_apply(
@@ -116,19 +149,7 @@ def partition_apply(
         import pyarrow as pa
 
         def tag_arrow(t: "pa.Table") -> "pa.Table":
-            from sous_chef_ray.stages._util import nul_safe_key_strings
-
-            h = pd.util.hash_pandas_object(
-                pd.Series(
-                    nul_safe_key_strings(t[keys[0]]).to_numpy(zero_copy_only=False)
-                )
-                if len(keys) == 1
-                else pd.Series(
-                    list(zip(*[t[k].to_numpy(zero_copy_only=False) for k in keys]))
-                ),
-                index=False,
-            ).to_numpy()
-            bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+            bucket = bucket_ids(t, keys, num_buckets)
             return t.append_column(BUCKET_COL, pa.array(bucket))
 
         def apply_arrow(t: "pa.Table") -> "pa.Table":

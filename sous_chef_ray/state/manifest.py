@@ -157,3 +157,87 @@ def run_partitioned(
         manifest.append(rec)
         done[pid] = rec
     return done
+
+
+def write_bucketed_resumable(
+    build_fn: Callable[[Optional[frozenset]], "rd.Dataset"],
+    keys: List[str],
+    out_dir: str,
+    num_buckets: int,
+    manifest_path: Optional[str] = None,
+    sort_by: Optional[List[str]] = None,
+) -> Dict[str, PartitionRecord]:
+    """Exactly-once resumable write of a KEY-BUCKETED pipeline (the
+    flagship shape: keys straddle input shards, so the resume unit is
+    the hash bucket, not the input file).
+
+    ``build_fn(missing)`` returns the pipeline's output Dataset, built
+    over the input filtered to rows whose ``bucket_ids(keys) %
+    num_buckets`` lands in ``missing`` (``None`` = all buckets) and
+    bucketed with the SAME ``num_buckets`` — each output block is then
+    exactly one bucket. The write runs INSIDE the bucket's own Ray task:
+    tmp dir → parquet → in-memory checksum → atomic rename → manifest
+    append (single O_APPEND line — atomic on one node; on a multi-node
+    cluster the manifest path must be shared storage). A kill between
+    rename and append re-runs just that bucket idempotently; a completed
+    run costs ONE input scan regardless of how many buckets exist.
+    Buckets with zero rows get an explicit rows=0 record after the pass
+    (otherwise they'd re-run forever)."""
+    manifest = Manifest(manifest_path or os.path.join(out_dir, "_manifest.jsonl"))
+    done = manifest.load()
+    missing = [b for b in range(num_buckets) if str(b) not in done]
+    if not missing:
+        return done
+    os.makedirs(out_dir, exist_ok=True)
+    for b in missing:  # clear partial dirs from a previous kill
+        shutil.rmtree(os.path.join(out_dir, f"_tmp_part={b}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, f"part={b}"), ignore_errors=True)
+    miss_set = frozenset(missing) if len(missing) < num_buckets else None
+    mpath = manifest.path
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        from sous_chef_ray.stages.partition import bucket_ids
+
+        t0 = time.time()
+        pid = int(bucket_ids(t.slice(0, 1), keys, num_buckets)[0])
+        tmp = os.path.join(out_dir, f"_tmp_part={pid}")
+        final = os.path.join(out_dir, f"part={pid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(t, os.path.join(tmp, "data.parquet"))
+        rec = PartitionRecord(
+            partition_id=str(pid),
+            input_fragments=[f"bucket={pid}/{num_buckets}"],
+            row_count=len(t),
+            checksum=table_checksum(t, sort_by=sort_by),
+            output_path=final,
+            status="done",
+            wall_sec=round(time.time() - t0, 3),
+            finished_at=time.time(),
+            output_bytes=os.path.getsize(os.path.join(tmp, "data.parquet")),
+        )
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        Manifest(mpath).append(rec)
+        return pa.table({"partition_id": pa.array([rec.partition_id]),
+                         "rows": pa.array([rec.row_count], pa.int64())})
+
+    out = build_fn(miss_set)
+    # one whole-bucket block per map call (same batch_size=None contract
+    # as partition_apply's apply stage)
+    out.map_batches(write_bucket, batch_format="pyarrow",
+                    batch_size=None, zero_copy_batch=True).count()
+
+    done = manifest.load()
+    for b in missing:  # empty buckets produced no block: record rows=0
+        if str(b) not in done:
+            final = os.path.join(out_dir, f"part={b}")
+            os.makedirs(final, exist_ok=True)
+            rec = PartitionRecord(
+                partition_id=str(b),
+                input_fragments=[f"bucket={b}/{num_buckets}"],
+                row_count=0, checksum="0" * 8, output_path=final,
+                status="done", wall_sec=0.0, finished_at=time.time())
+            manifest.append(rec)
+            done[str(b)] = rec
+    return done

@@ -399,3 +399,41 @@ def test_multikey_partitioned_matches_broadcast():
         bc.sort_values(k).reset_index(drop=True)[k],
         pt.sort_values(k).reset_index(drop=True)[k],
     )
+
+
+def test_asof_join_auto_guard_routes_by_spine_size(data):
+    """Round-5: asof_join_auto gathers the spine ONLY under the measured
+    broadcast guard. Above the guard it returns a streaming Dataset (the
+    co-partitioned plan — nothing driver-side); below it, a pa.Table.
+    Both agree with the plain broadcast plan."""
+    import ray.data as rd
+
+    from sous_chef_ray.stages.asof import asof_join_auto
+
+    features, spine = data
+    kw = dict(key="doc_id", spine_ts="event_timestamp",
+              feature_ts="event_ts", tie_col="created_ts",
+              payload_cols=["n_tok", "source"],
+              ttl=pd.Timedelta(days=TTL_DAYS))
+    expected = asof_join_broadcast(
+        rd.from_arrow(features).repartition(5), spine,
+        concurrency=2, batch_size=512, **kw,
+    ).to_pandas()
+
+    spine_ds = rd.from_arrow(spine).repartition(3)
+    small = asof_join_auto(
+        rd.from_arrow(features).repartition(5), spine_ds,
+        broadcast_limit=10_000_000, concurrency=2, batch_size=512, **kw)
+    assert isinstance(small, pa.Table)  # under guard → driver table
+    big = asof_join_auto(
+        rd.from_arrow(features).repartition(5), spine_ds,
+        broadcast_limit=0, num_buckets=8, **kw)
+    assert isinstance(big, rd.Dataset)  # over guard → streaming Dataset
+
+    k = ["doc_id", "event_timestamp", "n_tok"]
+    cols = ["doc_id", "event_timestamp", "n_tok", "source"]
+    for got in (small.to_pandas(), big.to_pandas()):
+        pd.testing.assert_frame_equal(
+            got.sort_values(k).reset_index(drop=True)[cols],
+            expected.sort_values(k).reset_index(drop=True)[cols],
+        )

@@ -220,3 +220,85 @@ def test_salted_hash_join_matches_plain_on_zipf():
         salted[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_flagship_kill_resume_checksum_equal(tmp_path):
+    """Round-5 VERDICT #3: a mid-run SIGKILL of the FLAGSHIP window
+    materialization (real window_features_resumable, real token table)
+    resumes to byte-identical output. The child process gets killed as
+    soon as the manifest shows progress but before all buckets finish
+    (an input-side throttle widens the window); the resume run then
+    completes only the missing buckets."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import ray.data as rd
+
+    from sous_chef_ray.pipelines.materialize import window_features_resumable
+    from sous_chef_ray.state.manifest import table_checksum
+
+    base = str(tmp_path)
+    tbl = token_table(20_000, seed=42, n_docs=200)
+    pq.write_table(tbl, f"{base}/in.parquet")
+    nb = 12
+
+    child = f"""
+import time
+import pandas as pd
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+import ray.data as rd
+from sous_chef_ray.pipelines.materialize import window_features_resumable
+
+def factory():
+    ds = rd.read_parquet("{base}/in.parquet",
+        columns=["doc_id", "n_tok", "source", "event_ts", "created_ts"],
+        override_num_blocks=24)
+    def slow(t):
+        time.sleep(0.4)  # input-side throttle: widens the kill window
+        return t
+    return ds.map_batches(slow, batch_format="pyarrow")
+
+window_features_resumable(factory, "{base}/out_k", key="doc_id",
+    session_gap=pd.Timedelta(hours=6), num_buckets={nb})
+"""
+    p = subprocess.Popen([sys.executable, "-c", child], cwd="/root/repo",
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    man = f"{base}/out_k/_manifest.jsonl"
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if os.path.exists(man) and sum(1 for _ in open(man)) >= 1:
+            break
+        if p.poll() is not None:
+            break
+        _time.sleep(0.1)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    done_before = sum(1 for _ in open(man)) if os.path.exists(man) else 0
+    assert done_before >= 1  # the kill landed after real progress
+
+    def factory():
+        return rd.read_parquet(
+            f"{base}/in.parquet",
+            columns=["doc_id", "n_tok", "source", "event_ts", "created_ts"])
+
+    recs = window_features_resumable(
+        factory, f"{base}/out_k", key="doc_id",
+        session_gap=pd.Timedelta(hours=6), num_buckets=nb)
+    assert len(recs) == nb
+
+    # clean reference run
+    window_features_resumable(
+        factory, f"{base}/out_ref", key="doc_id",
+        session_gap=pd.Timedelta(hours=6), num_buckets=nb)
+    k = ["doc_id", "event_ts", "created_ts"]
+    for b in range(nb):
+        ta = pq.read_table(f"{base}/out_k/part={b}")
+        tb = pq.read_table(f"{base}/out_ref/part={b}")
+        assert table_checksum(ta, k) == table_checksum(tb, k)

@@ -488,3 +488,39 @@ def test_duplicate_substring_detection_planted_span():
     assert out.loc[0, "max_dup_run"] == 18
     assert out.loc[2, "n_dup_grams"] == 0
     assert out.loc[3, "n_dup_grams"] == 0
+
+
+def test_exact_dedup_nul_embedded_keys():
+    """Round-5: content keys differing only by an embedded NUL byte are
+    DISTINCT groups. The pandas groupby path silently merged them (its
+    string hashtable truncates at \\x00 — stages/partition.py:16); the
+    Arrow partition_apply path compares by value."""
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["ab", "a\x00b", "a\x00b", "ab"],
+    })
+    out = (
+        exact_dedup(rd.from_pandas(df), "text", keep_by="doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2]
+    assert sorted(out["text"]) == ["a\x00b", "ab"]
+
+
+def test_latest_per_key_multikey_and_null_keys():
+    """Round-5: multi-key latest now routes through the same bucketed
+    Arrow reduce (vectorized composite keys), and NULL keys form ONE
+    group instead of one per row."""
+    from sous_chef_ray.stages.dedup import latest_per_key
+
+    df = pd.DataFrame({
+        "k1": ["a", "a", "b", "b", None, None],
+        "k2": [1, 1, 1, 2, 1, 1],
+        "ts": [10, 20, 5, 7, 1, 3],
+        "v": [100, 200, 300, 400, 500, 600],
+    })
+    out = (
+        latest_per_key(rd.from_pandas(df), ["k1", "k2"], order_by="ts")
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert list(out["v"]) == [200, 300, 400, 600]
