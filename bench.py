@@ -211,19 +211,34 @@ def headline(num_cpus: int) -> dict:
     pool = max(2, num_cpus // 2)
 
     t0 = time.time()
-    # the write goes through the checkpoint manifest (north rule: the
-    # backfill itself resumes exactly-once per bucket; overhead =
-    # in-task checksum + one manifest line per bucket — see BASELINE.md)
-    window_features_resumable(
-        lambda: rd.read_parquet(
+    if os.environ.get("BENCH_PLAIN_WRITE"):
+        # A/B knob: plain (non-resumable) write, for measuring manifest
+        # overhead (BASELINE.md)
+        from sous_chef_ray.pipelines.materialize import window_features
+
+        ds = rd.read_parquet(
             TOKEN_CACHE,
-            columns=["doc_id", "n_tok", "source", "event_ts", "created_ts"],
-        ),
-        out_dir,
-        key="doc_id", ts_col="event_ts", tie_col="created_ts",
-        value_col="n_tok", session_gap=pd.Timedelta(hours=6),
-        num_buckets=max(64, num_cpus * 4),
-    )
+            columns=["doc_id", "n_tok", "source", "event_ts", "created_ts"])
+        window_features(
+            ds, key="doc_id", ts_col="event_ts", tie_col="created_ts",
+            value_col="n_tok", session_gap=pd.Timedelta(hours=6),
+            num_buckets=max(64, num_cpus * 4),
+        ).write_parquet(out_dir)
+    else:
+        # the write goes through the checkpoint manifest (north rule:
+        # the backfill itself resumes exactly-once per bucket; overhead
+        # = in-task checksum + one manifest line per bucket — BASELINE.md)
+        window_features_resumable(
+            lambda: rd.read_parquet(
+                TOKEN_CACHE,
+                columns=["doc_id", "n_tok", "source", "event_ts",
+                         "created_ts"],
+            ),
+            out_dir,
+            key="doc_id", ts_col="event_ts", tie_col="created_ts",
+            value_col="n_tok", session_gap=pd.Timedelta(hours=6),
+            num_buckets=max(64, num_cpus * 4),
+        )
     t_window = time.time() - t0
 
     t1 = time.time()

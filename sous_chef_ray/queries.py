@@ -5198,6 +5198,23 @@ SELECT event_id,
                                ORDER BY ts, event_id) AS lv
 FROM events
 """,
+    # cross-side non-equi ON on LEFT JOIN: the residual decides
+    # MATCHING (failing matches drop, the left row null-extends iff no
+    # match passes) — the broadcast DimIndex collapse, not a post-join
+    # filter (which would wrongly drop preserved rows)
+    "sql_execute_left_join_nonequi": """
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+ON c.c_custkey = o.o_custkey AND o.o_totalprice > c.c_acctbal * 20
+""",
+    # mixed UNION ALL / DISTINCT chain: left-associative per SQL (the
+    # DISTINCT step dedupes the accumulated prefix; the trailing ALL
+    # appends with duplicates)
+    "sql_execute_union_mixed": """
+SELECT o_orderstatus AS s FROM orders UNION
+SELECT o_orderstatus AS s FROM orders UNION ALL
+SELECT o_orderstatus AS s FROM orders WHERE o_orderkey < 50
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides
@@ -5244,9 +5261,11 @@ _WINDOW_PRIORITY = [
     "sql_execute_join_hash", "sql_execute_in_subquery",
     "sql_execute_moving_frame", "sql_execute_exists_q4",
     "sql_execute_q3", "sql_execute_q5",
-    # round-5 compiler additions: QUALIFY + time-RANGE frames
+    # round-5 compiler additions: QUALIFY, time-RANGE frames, non-equi
+    # LEFT JOIN, mixed UNION chains
     "sql_execute_qualify_topk", "sql_execute_qualify_rank",
     "sql_execute_range_frame", "sql_execute_last_value_default",
+    "sql_execute_left_join_nonequi", "sql_execute_union_mixed",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",

@@ -268,11 +268,14 @@ class Select:
 
 @dataclass
 class Compound:
-    """UNION [ALL] chain; trailing ORDER BY / LIMIT apply to the union
-    (homogeneous chains only — mixed ALL/DISTINCT is rejected)."""
+    """UNION [ALL] chain; trailing ORDER BY / LIMIT apply to the union.
+    ``ops[i]`` is True for UNION ALL, False for UNION [DISTINCT] between
+    selects[i] and selects[i+1] — mixed chains evaluate left-associative
+    per SQL (a DISTINCT step dedupes everything accumulated so far; a
+    later ALL step appends WITH duplicates)."""
 
     selects: List[Select]
-    distinct: bool
+    ops: List[bool]
     order_by: List[Tuple[object, bool]] = field(default_factory=list)
     limit: Optional[int] = None
 
@@ -354,9 +357,6 @@ class _Parser:
             raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
         if len(sels) == 1:
             return sels[0]
-        if len(set(alls)) > 1:
-            raise ValueError("mixed UNION ALL / UNION DISTINCT chains are "
-                             "not supported")
         for s in sels[:-1]:
             if s.order_by or s.limit is not None:
                 raise ValueError("ORDER BY / LIMIT only allowed after the "
@@ -364,8 +364,7 @@ class _Parser:
         last = sels[-1]
         order_by, limit = last.order_by, last.limit
         last.order_by, last.limit = [], None
-        return Compound(sels, distinct=not alls[0], order_by=order_by,
-                        limit=limit)
+        return Compound(sels, ops=alls, order_by=order_by, limit=limit)
 
     def _parse_table_ref(self) -> TableRef:
         if self.accept_op("("):
@@ -1158,6 +1157,21 @@ def _project_fn(named_exprs: List[Tuple[str, object]]):
     return fn
 
 
+def _mask_fn(expr):
+    """Predicate → numpy bool mask (nulls FALSE) — the shape
+    DimIndex.merge's ON-residual collapse consumes."""
+    def fn(t: pa.Table) -> np.ndarray:
+        mask = eval_expr(expr, t)
+        if isinstance(mask, pa.Scalar):
+            return np.full(len(t), bool(mask.is_valid and mask.as_py()),
+                           dtype=bool)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return np.asarray(pc.fill_null(mask, False))
+
+    return fn
+
+
 def _filter_fn(where):
     def fn(t: pa.Table) -> pa.Table:
         mask = eval_expr(where, t)
@@ -1400,19 +1414,19 @@ class _BroadcastMergeChain:
         self.steps = []
         for step in ray.get(steps_ref):
             if step[0] == "merge":
-                _, dim, on, right_on, how = step
+                _, dim, on, right_on, how, resid = step
                 drop = frozenset() if how == "cross" else frozenset(
                     r for l_, r in zip(on, right_on) if l_ == r)
                 self.steps.append(
                     ("merge", DimIndex(dim, right_on, how, drop_keys=drop),
-                     on))
+                     on, _mask_fn(resid) if resid is not None else None))
             else:  # ("filter", expr)
                 self.steps.append(("filter", _filter_fn(step[1])))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for step in self.steps:
             if step[0] == "merge":
-                batch = step[1].merge(batch, step[2])
+                batch = step[1].merge(batch, step[2], resid_mask=step[3])
             else:
                 batch = step[1](batch)
         return batch
@@ -1668,10 +1682,9 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
             if rp:
                 right_pre = _and_all(rp)
                 resid_on = [c for c in resid_on if c not in rp]
-        if resid_on and kind not in ("inner", "cross"):
-            raise ValueError("non-equi ON conditions are only "
-                             "supported for INNER JOIN (or right-side-"
-                             "only predicates on LEFT JOIN)")
+        if resid_on and kind not in ("inner", "cross", "left"):
+            raise ValueError("non-equi ON conditions are only supported "
+                             "for INNER and LEFT JOIN")
 
         right_side = build_side(ri) if refs[ri].sub is not None else None
         dim = None
@@ -1701,11 +1714,21 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                             if i_ == ri and a_ == n_r:
                                 mapping[c] = Col(keep)
             if kind == "cross":
-                pending.append(("merge", dim, None, None, "cross"))
+                pending.append(("merge", dim, None, None, "cross", None))
+            elif kind == "left" and resid_on:
+                # non-equi ON on LEFT JOIN: the residual decides MATCHING
+                # (failing matches drop, the left row null-extends iff no
+                # match passes) — it rides inside the merge step; a
+                # post-join filter would wrongly drop preserved rows
+                pending.append((
+                    "merge", dim, [p[0] for p in eq], [p[1] for p in eq],
+                    "left",
+                    _and_all([_replace(c, mapping) for c in resid_on])))
+                resid_on = []
             else:
                 pending.append((
                     "merge", dim, [p[0] for p in eq], [p[1] for p in eq],
-                    {"inner": "inner", "left": "left"}[kind]))
+                    {"inner": "inner", "left": "left"}[kind], None))
             if resid_on:
                 pending.append(
                     ("filter",
@@ -1715,6 +1738,13 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
             if kind == "cross":
                 raise ValueError("CROSS JOIN right side too large to "
                                  "broadcast")
+            if resid_on and kind == "left":
+                # the residual decides MATCHING on an outer join — a
+                # post-join filter would drop preserved rows; only the
+                # broadcast merge implements the collapse
+                raise ValueError(
+                    "non-equi ON on LEFT JOIN needs the right side "
+                    "within the broadcast threshold (broadcast_rows)")
             left = flush_chain(left)
             right = right_side if right_side is not None else build_side(ri)
             if isinstance(right, pd.DataFrame):
@@ -1833,9 +1863,22 @@ def _execute_compound(comp: Compound, sf_dir: str, num_buckets: int,
             raise ValueError(f"UNION branches must produce identical "
                              f"column names: {names} vs {cols}")
         parts.append(p)
-    out = parts[0].union(*parts[1:])
-    if comp.distinct:
-        out = _distinct_ds(out, names)
+    # left-associative evaluation; a run of consecutive DISTINCT steps
+    # collapses to ONE dedup of everything accumulated through the run
+    # (dedup(dedup(A∪B)∪C) ≡ dedup(A∪B∪C)); ALL steps append raw
+    out = parts[0]
+    i = 0
+    while i < len(comp.ops):
+        if comp.ops[i]:  # UNION ALL
+            out = out.union(parts[i + 1])
+            i += 1
+        else:
+            j = i
+            while j < len(comp.ops) and not comp.ops[j]:
+                j += 1
+            out = out.union(*parts[i + 1:j + 1])
+            out = _distinct_ds(out, names)
+            i = j
     if comp.order_by:
         named = [(n, Col(n)) for n in names]
         keys = [_order_key(named, e) for e, _ in comp.order_by]

@@ -109,7 +109,13 @@ class DimIndex:
         return pc.fill_null(arr, -1).to_numpy(
             zero_copy_only=False).astype(np.int64)
 
-    def merge(self, batch: pa.Table, on: Optional[List[str]]) -> pa.Table:
+    def merge(self, batch: pa.Table, on: Optional[List[str]],
+              resid_mask=None) -> pa.Table:
+        """Gather-join one fact batch. ``resid_mask(merged) -> bool
+        ndarray`` is a non-equi ON residual: for INNER it just filters;
+        for LEFT, matches failing it drop but their left row survives
+        null-extended iff NO match passes (SQL ON semantics — the
+        predicate decides matching, never left-row survival)."""
         if self.how == "cross":
             n, m = len(batch), len(self.payload)
             left = batch.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
@@ -117,7 +123,7 @@ class DimIndex:
             return self._attach(left, self.payload.take(gather))
         code = self._codes(batch, on)
         matched = code >= 0
-        if self.unique_keys:
+        if self.unique_keys and resid_mask is None:
             if self.how == "left":
                 gather = pa.array(code, mask=~matched)
                 return self._attach(batch, self.payload.take(gather))
@@ -126,20 +132,41 @@ class DimIndex:
                 batch = batch.take(pa.array(keep))
                 code = code[keep]
             return self._attach(batch, self.payload.take(pa.array(code)))
-        cnt = np.where(matched, self.counts[np.where(matched, code, 0)], 0)
+        if self.unique_keys:
+            cnt = matched.astype(np.int64)
+            base_of = np.where(matched, code, -1)
+        else:
+            cnt = np.where(matched, self.counts[np.where(matched, code, 0)], 0)
+            base_of = np.where(matched, self.starts[np.where(matched, code, 0)], -1)
         out_cnt = np.where(matched, cnt, 1) if self.how == "left" else cnt
         total = int(out_cnt.sum())
         left_idx = np.repeat(np.arange(len(batch), dtype=np.int64), out_cnt)
-        base = np.repeat(
-            np.where(matched, self.starts[np.where(matched, code, 0)], -1),
-            out_cnt)
+        base = np.repeat(base_of, out_cnt)
         run_start = np.zeros(len(batch), np.int64)
         np.cumsum(out_cnt[:-1], out=run_start[1:])
         offs = np.arange(total, dtype=np.int64) - np.repeat(run_start, out_cnt)
         gidx = base + offs  # -1 stays -1: unmatched left rows (offs == 0)
         gather = pa.array(gidx, mask=gidx < 0)
-        return self._attach(batch.take(pa.array(left_idx)),
-                            self.payload.take(gather))
+        merged = self._attach(batch.take(pa.array(left_idx)),
+                              self.payload.take(gather))
+        if resid_mask is None:
+            return merged
+        passed = np.asarray(resid_mask(merged), dtype=bool) & (gidx >= 0)
+        if self.how != "left":
+            return merged.filter(pa.array(passed))
+        any_pass = np.zeros(len(batch), dtype=bool)
+        if passed.any():
+            any_pass[left_idx[passed]] = True
+        sel = np.nonzero(passed)[0]
+        fail_rows = np.nonzero(~any_pass)[0]
+        final_left = np.concatenate([left_idx[sel], fail_rows])
+        final_g = np.concatenate(
+            [gidx[sel], np.full(len(fail_rows), -1, np.int64)])
+        order = np.argsort(final_left, kind="stable")
+        final_left, final_g = final_left[order], final_g[order]
+        return self._attach(
+            batch.take(pa.array(final_left)),
+            self.payload.take(pa.array(final_g, mask=final_g < 0)))
 
     def _attach(self, left: pa.Table, right: pa.Table) -> pa.Table:
         names = set(left.column_names)

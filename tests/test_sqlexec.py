@@ -336,13 +336,44 @@ def test_union_all_and_distinct(con):
                   "SELECT l_returnflag AS s FROM lineitem ORDER BY s")
 
 
-def test_union_rejects_mixed_and_mismatched():
-    with pytest.raises(ValueError):
-        sql_execute("SELECT a AS x FROM t UNION SELECT a AS x FROM t "
-                    "UNION ALL SELECT a AS x FROM t", SF)
+def test_union_rejects_mismatched_columns():
     with pytest.raises(ValueError):
         sql_execute("SELECT o_orderkey AS a FROM orders UNION ALL "
                     "SELECT l_orderkey AS b FROM lineitem", SF)
+
+
+def test_union_mixed_chains(con):
+    """Round-5: mixed ALL/DISTINCT chains evaluate left-associative per
+    SQL — a DISTINCT step dedupes the accumulated prefix, a later ALL
+    step appends with duplicates."""
+    run_both(con, (
+        "SELECT o_orderstatus AS s FROM orders UNION "
+        "SELECT o_orderstatus AS s FROM orders UNION ALL "
+        "SELECT o_orderstatus AS s FROM orders WHERE o_orderkey < 50"))
+    run_both(con, (
+        "SELECT o_orderstatus AS s FROM orders UNION ALL "
+        "SELECT o_orderstatus AS s FROM orders UNION "
+        "SELECT 'Z' AS s FROM orders WHERE o_orderkey < 5"))
+
+
+def test_left_join_nonequi_on(con):
+    """Round-5: cross-side non-equi ON conjuncts on LEFT JOIN decide
+    MATCHING (failing matches drop; the left row null-extends iff no
+    match passes) — broadcast merge collapse, incl. the anti-idiom."""
+    run_both(con, (
+        "SELECT c.c_name, c.c_acctbal, o.o_orderkey, o.o_totalprice "
+        "FROM customer c LEFT JOIN orders o "
+        "ON c.c_custkey = o.o_custkey AND o.o_totalprice > c.c_acctbal * 20"))
+    run_both(con, (
+        "SELECT c.c_custkey FROM customer c LEFT JOIN orders o "
+        "ON c.c_custkey = o.o_custkey AND o.o_totalprice > c.c_acctbal * 50 "
+        "WHERE o.o_orderkey IS NULL"))
+    # hash path (right side above broadcast threshold) raises clearly
+    with pytest.raises(ValueError):
+        sql_execute(
+            "SELECT c.c_name FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey AND o.o_totalprice > c.c_acctbal",
+            SF, broadcast_rows=0)
 
 
 def test_quantile_aggregates(con):
