@@ -286,6 +286,87 @@ class Engine:
                     f"query rejected by {type(src).__name__} validator")
         return sql_execute(sql, data_dir or str(self.repo_path), **kwargs)
 
+    # -- online store (the sqlite analogue the reference configs declare) --
+
+    def _online_store(self, store_path: Optional[str] = None):
+        from sous_chef_ray.state.online import SqliteOnlineStore
+
+        if store_path is None:
+            cfg = self.config.get("online_store", {}) or {}
+            if cfg.get("type", "sqlite") != "sqlite":
+                raise ValueError(
+                    f"unsupported online store type: {cfg.get('type')!r}")
+            store_path = cfg.get("path", "online_store.db")
+            store_path = str(self.repo_path / store_path)
+        return SqliteOnlineStore(store_path)
+
+    def materialize_online(
+        self,
+        features: Union[FeatureService, FeatureView, List[FeatureView]],
+        store_path: Optional[str] = None,
+    ) -> Dict[str, int]:
+        """Materialize each view's LATEST feature row per entity key into
+        the configured sqlite online store (ref configs declare
+        ``online_store: {type: sqlite, path: ...}`` and delegate this to
+        Feast — tests/test_feature_services.py:14-19). The latest-row
+        reduce is the engine's distributed bucketed plan
+        (stages/dedup.latest_per_key); only one row per key reaches the
+        writer. Returns {view_name: rows written}."""
+        from sous_chef_ray.state.online import materialize_online
+
+        if isinstance(features, FeatureService):
+            views = features.features
+        elif isinstance(features, FeatureView):
+            views = [features]
+        else:
+            views = list(features)
+        store = self._online_store(store_path)
+        written: Dict[str, int] = {}
+        for view in views:
+            key = view.entities[0].join_keys[0]
+            ts_field = view.source.params.get(
+                "timestamp_field", "event_timestamp")
+            created = view.source.params.get("created_timestamp_column")
+            value_cols = [f.name for f in view.schema]
+            need = [key, ts_field] + ([created] if created else []) \
+                + value_cols
+            ds = view.source.load(columns=need)
+            written[view.name] = materialize_online(
+                ds, store, view.name, key, ts_field, tie_col=created)
+        return written
+
+    def get_online_features(
+        self,
+        features: Union[FeatureService, FeatureView, List[FeatureView]],
+        entity_rows: List[Dict],
+        store_path: Optional[str] = None,
+    ) -> pd.DataFrame:
+        """Online point lookups: one output row per entity_row, columns
+        concatenated across the service's views (same column contract as
+        get_historical_features), typed nulls for unknown keys."""
+        if isinstance(features, FeatureService):
+            views = features.features
+        elif isinstance(features, FeatureView):
+            views = [features]
+        else:
+            views = list(features)
+        store = self._online_store(store_path)
+        out: Optional[pa.Table] = None
+        for view in views:
+            key = view.entities[0].join_keys[0]
+            keys = [row[key] for row in entity_rows]
+            t = store.read(view.name, keys)
+            cols = {n: t[n] for n in t.column_names}
+            for f in view.schema:
+                cols[f.name] = t[f.name].cast(f.dtype)
+            t = pa.table(cols)
+            if out is None:
+                out = t
+            else:
+                for f in view.schema:
+                    out = out.append_column(f.name, t[f.name])
+        return out.to_pandas()
+
     # -- retrieval (the data plane Feast used to own) ----------------------
 
     def get_historical_features(
