@@ -1211,6 +1211,33 @@ def _ref_columns(ref: TableRef, sf_dir: str) -> List[str]:
     return list(pq.read_schema(f"{sf_dir}/{ref.table}.parquet").names)
 
 
+def _expand_stars(sel: Select, sf_dir: str) -> None:
+    """Rewrite top-level ``SELECT *`` items into explicit Cols (schema
+    from the parquet file or the derived table's own select list).
+    Derived tables expand recursively FIRST so an outer relation over a
+    ``SELECT *`` sub sees its concrete output names. Joined selects are
+    rejected: with the engine's same-named-key collapse, ``*`` over a
+    join has no unambiguous column list."""
+    for ref in [sel.frm] + [j.ref for j in sel.joins]:
+        if ref is not None and ref.sub is not None:
+            _expand_stars(ref.sub, sf_dir)
+    if not any(isinstance(e, Star) for _, e in sel.items):
+        return
+    if sel.joins:
+        raise ValueError(
+            "SELECT * is supported for single-relation selects only")
+    cols = _ref_columns(sel.frm, sf_dir)
+    items: List[Tuple[Optional[str], object]] = []
+    for a, e in sel.items:
+        if isinstance(e, Star):
+            if a:
+                raise ValueError("* cannot take an alias")
+            items.extend((None, Col(c)) for c in cols)
+        else:
+            items.append((a, e))
+    sel.items = items
+
+
 def _resolve_col(col: Col, refs, ref_cols) -> Tuple[int, str]:
     """(qualifier, name) → (relation index, actual schema column name)."""
     cands = []
@@ -1901,6 +1928,7 @@ def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
                     broadcast_rows: int):
     import ray.data as rd
 
+    _expand_stars(sel, sf_dir)
     sel = _materialize_subqueries(sel, sf_dir, num_buckets, broadcast_rows)
     ds, mapping = _plan_from(sel, sf_dir, num_buckets, broadcast_rows)
     sel = _rewrite_select(sel, mapping)

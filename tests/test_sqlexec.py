@@ -617,3 +617,18 @@ def test_last_value_peers_with_ties(ray_session):
     ).to_pandas().sort_values(["k", "o", "v"]).reset_index(drop=True)
     # peers (k=1, o=10) → last row of that run; runs don't cross o=20
     assert list(out["lv"]) == [101, 101, 201, 201, 300, 301]
+
+
+def test_select_star_in_derived_tables(con):
+    """Round-5: SELECT * expands inside derived tables (schema from the
+    parquet file, recursively). Top-level SELECT * stays REJECTED — the
+    reference validator's golden behavior (validators.py `+-*/` rule)."""
+    run_both(con, (
+        "SELECT o.o_orderkey, o.o_totalprice FROM "
+        "(SELECT * FROM orders WHERE o_totalprice > 300000) o"))
+    run_both(con, (
+        "SELECT o.o_orderkey, c.c_name FROM "
+        "(SELECT * FROM orders WHERE o_totalprice > 300000) o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"))
+    with pytest.raises(ValueError):
+        sql_execute("SELECT * FROM orders", SF)  # validator conformance
