@@ -5215,6 +5215,19 @@ SELECT o_orderstatus AS s FROM orders UNION
 SELECT o_orderstatus AS s FROM orders UNION ALL
 SELECT o_orderstatus AS s FROM orders WHERE o_orderkey < 50
 """,
+    # aggregate FILTER (WHERE ...) — parse-time desugar to CASE args
+    # (exact for the null-skipping aggregates incl. COUNT DISTINCT)
+    "sql_execute_agg_filter": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+           AS n_big,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+           AS urgent_cents,
+       CAST(COUNT(DISTINCT o_custkey)
+            FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS nd
+FROM orders GROUP BY o_orderstatus
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides
@@ -5266,6 +5279,7 @@ _WINDOW_PRIORITY = [
     "sql_execute_qualify_topk", "sql_execute_qualify_rank",
     "sql_execute_range_frame", "sql_execute_last_value_default",
     "sql_execute_left_join_nonequi", "sql_execute_union_mixed",
+    "sql_execute_agg_filter",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",

@@ -667,6 +667,25 @@ class _Parser:
                     args.append(self.parse_expr())
                 self.expect_op(")")
             fn = Func(up, tuple(args), distinct)
+            # aggregate FILTER (WHERE cond) desugars exactly for the
+            # null-skipping aggregates: F(x) FILTER c ≡ F(CASE WHEN c
+            # THEN x END); COUNT(*) FILTER c ≡ COUNT(CASE WHEN c THEN 1
+            # END) — no executor changes needed
+            if (self.peek_kw() == "FILTER"
+                    and self.peek(1) == ("op", "(")):
+                if up not in _AGG_FNS and up != "COUNT":
+                    raise ValueError(
+                        f"FILTER is only valid on aggregates, not {up}")
+                self.i += 1
+                self.expect_op("(")
+                self.expect_kw("WHERE")
+                cond = self.parse_expr()
+                self.expect_op(")")
+                arg = (Lit(1, "int")
+                       if not args or isinstance(args[0], Star)
+                       else args[0])
+                fn = Func(up, (Case(((cond, arg),), None),)
+                          + tuple(args[1:]), distinct)
             # OVER clause → window
             if self.peek_kw() == "OVER":
                 self.i += 1
@@ -2359,19 +2378,38 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
                             num_buckets=num_buckets)
         elif fname in ("LAG", "LEAD"):
             n = _scalar_int(w.func.args[1]) if len(w.func.args) > 1 else 1
-            if any(descs):
-                raise ValueError("LAG/LEAD with DESC order unsupported")
+            eff = fname
+            if all(descs) and descs:
+                # LAG over DESC ≡ LEAD over ASC (exact for total orders;
+                # SQL leaves tie order unspecified either way)
+                eff = "LEAD" if fname == "LAG" else "LAG"
+            elif any(descs):
+                raise ValueError("LAG/LEAD with mixed-direction ORDER BY "
+                                 "unsupported")
             out = with_lag_lead(
                 out, part_cols, order_cols, arg_col,
-                lag=n if fname == "LAG" else 0,
-                lead=n if fname == "LEAD" else 0,
-                lag_name=out_col if fname == "LAG" else None,
-                lead_name=out_col if fname == "LEAD" else None,
+                lag=n if eff == "LAG" else 0,
+                lead=n if eff == "LEAD" else 0,
+                lag_name=out_col if eff == "LAG" else None,
+                lead_name=out_col if eff == "LEAD" else None,
                 num_buckets=num_buckets)
         elif fname in ("FIRST_VALUE", "LAST_VALUE"):
+            frame = w.frame
             if any(descs):
-                raise ValueError("FIRST/LAST_VALUE with DESC unsupported")
-            if fname == "LAST_VALUE" and w.frame is None:
+                # FIRST_VALUE's default/running/whole frames all start at
+                # the partition head, so over DESC it is the partition's
+                # LAST row in ASC order; LAST_VALUE full-partition over
+                # DESC is the ASC FIRST. Peers/row-self LAST_VALUE under
+                # DESC stays unsupported (tie-dependent).
+                if all(descs) and fname == "FIRST_VALUE":
+                    fname, frame = "LAST_VALUE", "full_partition"
+                elif all(descs) and frame == "full_partition":
+                    fname = "FIRST_VALUE"
+                else:
+                    raise ValueError(
+                        "FIRST/LAST_VALUE with DESC order supports only "
+                        "partition-head-anchored frames")
+            if fname == "LAST_VALUE" and frame is None:
                 # SQL's DEFAULT frame is RANGE UNBOUNDED PRECEDING →
                 # CURRENT ROW: the frame ends at the current row's last
                 # ORDER-BY peer, so LAST_VALUE is peers-aware (NOT the
@@ -2383,14 +2421,14 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
                     out, part_cols, order_cols, arg_col, name=out_col,
                     num_buckets=num_buckets)
             elif (fname == "LAST_VALUE"
-                  and w.frame == "rows_unbounded_preceding"):
+                  and frame == "rows_unbounded_preceding"):
                 # ROWS frame ending at the current row: LAST_VALUE is
                 # the current row's own value — a column copy
                 out = out.map_batches(
                     lambda t, _a=arg_col, _o=out_col:
                         t.append_column(_o, t[_a]),
                     batch_format="pyarrow", zero_copy_batch=True)
-            elif fname == "LAST_VALUE" and w.frame != "full_partition":
+            elif fname == "LAST_VALUE" and frame != "full_partition":
                 raise ValueError(
                     "LAST_VALUE supports the default frame, ROWS "
                     "UNBOUNDED PRECEDING, or ROWS BETWEEN UNBOUNDED "
@@ -2498,12 +2536,17 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
             # m FOLLOWING} → prefix-sum rolling kernel (one shuffle)
             from sous_chef_ray.stages.window import with_rolling_sum_count
 
-            if any(descs):
-                raise ValueError("moving frames with DESC order unsupported")
+            lo, hi = w.frame[1], w.frame[2]
+            if all(descs) and descs:
+                # ROWS [lo PRECEDING, hi FOLLOWING] over DESC covers the
+                # SAME row set as [hi PRECEDING, lo FOLLOWING] over ASC
+                lo, hi = hi, lo
+            elif any(descs):
+                raise ValueError("moving frames with mixed-direction "
+                                 "ORDER BY unsupported")
             if arg_col is None:
                 raise ValueError(f"moving-frame {fname} needs a column "
                                  "argument (COUNT(*) unsupported)")
-            lo, hi = w.frame[1], w.frame[2]
             sum_nm = out_col if fname == "SUM" else f"{out_col}_s"
             cnt_nm = out_col if fname == "COUNT" else f"{out_col}_n"
             if fname == "AVG":

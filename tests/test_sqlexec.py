@@ -632,3 +632,42 @@ def test_select_star_in_derived_tables(con):
         "JOIN customer c ON o.o_custkey = c.c_custkey"))
     with pytest.raises(ValueError):
         sql_execute("SELECT * FROM orders", SF)  # validator conformance
+
+
+def test_aggregate_filter_clause(con):
+    """Round-5: FILTER (WHERE ...) on aggregates — exact desugar to
+    CASE-wrapped arguments (null-skipping aggregates + COUNT DISTINCT)."""
+    run_both(con, (
+        "SELECT o_orderstatus, "
+        "CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) "
+        "AS n_big, "
+        "MAX(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS max_even, "
+        "CAST(COUNT(DISTINCT o_custkey) "
+        "FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS nd "
+        "FROM orders GROUP BY o_orderstatus"))
+    with pytest.raises(ValueError):
+        sql_execute("SELECT UPPER(o_orderstatus) "
+                    "FILTER (WHERE o_orderkey > 1) AS u FROM orders", SF)
+
+
+def test_desc_order_windows(con):
+    """Round-5: all-DESC ORDER BY compiles for LAG/LEAD (flip to the
+    opposite shift over ASC), FIRST/LAST_VALUE partition-head frames,
+    and moving ROWS frames (frame bounds swap) — unique ORDER BY keys so
+    both engines are deterministic."""
+    run_both(con, (
+        "SELECT event_id, LAG(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS prev_v, "
+        "LEAD(value, 2) OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS next_v FROM events"))
+    run_both(con, (
+        "SELECT event_id, FIRST_VALUE(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS newest, "
+        "LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts DESC, "
+        "event_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+        "FOLLOWING) AS oldest FROM events"))
+    run_both(con, (
+        "SELECT event_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv "
+        "FROM events"))
