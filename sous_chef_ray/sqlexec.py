@@ -2357,6 +2357,11 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
         if (w.func.name not in ("NTILE", "PERCENT_RANK", "CUME_DIST")
                 and w.func.args and not isinstance(w.func.args[0], Star)):
             arg_col = col_for(w.func.args[0], "a")
+        elif (w.func.name == "COUNT" and isinstance(w.frame, tuple)):
+            # COUNT(*) over a moving/RANGE frame: count a never-null
+            # ones column — identical row count, reuses the sum/count
+            # rolling kernels
+            arg_col = col_for(Lit(1, "int"), "a")
         plans.append((w, out_col, part_cols, order_cols, descs, arg_col))
 
     out = ds.map_batches(_project_fn(pre), batch_format="pyarrow",

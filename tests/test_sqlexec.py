@@ -671,3 +671,16 @@ def test_desc_order_windows(con):
         "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC "
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv "
         "FROM events"))
+
+
+def test_count_star_moving_frames(con):
+    """Round-5: COUNT(*) over moving ROWS and time-RANGE frames (a
+    never-null ones column through the rolling kernels)."""
+    run_both(con, (
+        "SELECT event_id, CAST(COUNT(*) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS c3 FROM events"))
+    run_both(con, (
+        "SELECT event_id, CAST(COUNT(*) OVER (PARTITION BY user_id "
+        "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS c1h FROM events"))
