@@ -5215,6 +5215,13 @@ SELECT o_orderstatus AS s FROM orders UNION
 SELECT o_orderstatus AS s FROM orders UNION ALL
 SELECT o_orderstatus AS s FROM orders WHERE o_orderkey < 50
 """,
+    # INTERSECT/EXCEPT [ALL]: tagged-count hash aggregate + multiset
+    # row expansion; INTERSECT binds tighter than UNION/EXCEPT
+    "sql_execute_intersect_except": """
+SELECT o_orderstatus AS s FROM orders WHERE o_orderkey < 200
+EXCEPT ALL SELECT o_orderstatus AS s FROM orders
+WHERE o_orderkey >= 200 AND o_orderkey < 260
+""",
     # aggregate FILTER (WHERE ...) — parse-time desugar to CASE args
     # (exact for the null-skipping aggregates incl. COUNT DISTINCT)
     "sql_execute_agg_filter": """
@@ -5279,7 +5286,7 @@ _WINDOW_PRIORITY = [
     "sql_execute_qualify_topk", "sql_execute_qualify_rank",
     "sql_execute_range_frame", "sql_execute_last_value_default",
     "sql_execute_left_join_nonequi", "sql_execute_union_mixed",
-    "sql_execute_agg_filter",
+    "sql_execute_agg_filter", "sql_execute_intersect_except",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",

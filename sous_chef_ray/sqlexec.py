@@ -268,14 +268,16 @@ class Select:
 
 @dataclass
 class Compound:
-    """UNION [ALL] chain; trailing ORDER BY / LIMIT apply to the union.
-    ``ops[i]`` is True for UNION ALL, False for UNION [DISTINCT] between
-    selects[i] and selects[i+1] — mixed chains evaluate left-associative
-    per SQL (a DISTINCT step dedupes everything accumulated so far; a
-    later ALL step appends WITH duplicates)."""
+    """Set-operation chain; trailing ORDER BY / LIMIT apply to the whole
+    compound. ``ops[i]`` ∈ {union, union_all, except, except_all,
+    intersect, intersect_all} between selects[i] and selects[i+1] —
+    left-associative per SQL (a DISTINCT union step dedupes everything
+    accumulated so far; a later ALL step appends WITH duplicates).
+    INTERSECT binds tighter than UNION/EXCEPT, so ``selects`` entries
+    may themselves be nested (intersect-chain) Compounds."""
 
-    selects: List[Select]
-    ops: List[bool]
+    selects: List[object]  # Select | Compound
+    ops: List[str]
     order_by: List[Tuple[object, bool]] = field(default_factory=list)
     limit: Optional[int] = None
 
@@ -284,7 +286,7 @@ class Compound:
 _TABLE_STOP = {
     "WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT", "JOIN",
     "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON", "UNION",
-    "AS",
+    "INTERSECT", "EXCEPT", "AS",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
@@ -343,28 +345,70 @@ class _Parser:
             raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
         return sel
 
-    def parse_statement(self):
-        """SELECT [UNION [ALL] SELECT ...] → Select or Compound."""
-        sels = [self._select_body()]
-        alls: List[bool] = []
-        while self.accept_kw("UNION"):
+    def _intersect_term(self):
+        """select (INTERSECT [ALL] select)* — INTERSECT binds tighter
+        than UNION/EXCEPT per the SQL standard."""
+        sels: List[object] = [self._select_body()]
+        ops: List[str] = []
+        while self.accept_kw("INTERSECT"):
             all_ = self.accept_kw("ALL")
             if not all_:
                 self.accept_kw("DISTINCT")
-            alls.append(all_)
+            ops.append("intersect_all" if all_ else "intersect")
             sels.append(self._select_body())
-        if self.peek()[0] != "eof":
-            raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
         if len(sels) == 1:
             return sels[0]
-        for s in sels[:-1]:
-            if s.order_by or s.limit is not None:
-                raise ValueError("ORDER BY / LIMIT only allowed after the "
-                                 "last UNION branch (applies to the union)")
-        last = sels[-1]
+        return Compound(sels, ops=ops)
+
+    def parse_statement(self):
+        """term ((UNION [ALL] | EXCEPT [ALL]) term)* → Select or
+        Compound (terms are INTERSECT chains)."""
+        items = [self._intersect_term()]
+        ops: List[str] = []
+        while True:
+            if self.accept_kw("UNION"):
+                all_ = self.accept_kw("ALL")
+                if not all_:
+                    self.accept_kw("DISTINCT")
+                ops.append("union_all" if all_ else "union")
+            elif self.accept_kw("EXCEPT"):
+                all_ = self.accept_kw("ALL")
+                ops.append("except_all" if all_ else "except")
+            else:
+                break
+            items.append(self._intersect_term())
+        if self.peek()[0] != "eof":
+            raise ValueError(f"unexpected trailing tokens: {self.peek()!r}")
+        if len(items) == 1 and isinstance(items[0], Select):
+            return items[0]
+
+        def _last_select(x):
+            return _last_select(x.selects[-1]) if isinstance(x, Compound) \
+                else x
+
+        def _each_select(x):
+            if isinstance(x, Compound):
+                for s in x.selects:
+                    yield from _each_select(s)
+            else:
+                yield x
+
+        last = _last_select(items[-1])
+        for it in items:
+            for s in _each_select(it):
+                if s is last:
+                    continue
+                if s.order_by or s.limit is not None:
+                    raise ValueError(
+                        "ORDER BY / LIMIT only allowed after the last "
+                        "branch (applies to the whole compound)")
         order_by, limit = last.order_by, last.limit
         last.order_by, last.limit = [], None
-        return Compound(sels, ops=alls, order_by=order_by, limit=limit)
+        if len(items) == 1:
+            comp = items[0]
+            comp.order_by, comp.limit = order_by, limit
+            return comp
+        return Compound(items, ops=ops, order_by=order_by, limit=limit)
 
     def _parse_table_ref(self) -> TableRef:
         if self.accept_op("("):
@@ -1888,43 +1932,94 @@ def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64,
     return _execute_select(stmt, sf_dir, num_buckets, broadcast_rows)
 
 
+def _setop(a, b, names: List[str], kind: str):
+    """Distributed INTERSECT/EXCEPT [ALL]: tag per-side indicator
+    columns, one hash aggregate over ALL output columns (the same
+    single-shuffle shape as _distinct_ds), then an offset-arithmetic
+    row expansion by the SQL multiset count:
+      intersect      → 1 copy where both sides have the row
+      intersect_all  → min(count_a, count_b) copies
+      except         → 1 copy where only side A has it
+      except_all     → max(count_a − count_b, 0) copies."""
+    from ray.data.aggregate import Sum
+
+    def tag(a_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            one = pa.array(np.ones(len(t), np.int64))
+            zero = pa.array(np.zeros(len(t), np.int64))
+            t = t.append_column("__sa", one if a_side else zero)
+            return t.append_column("__sb", zero if a_side else one)
+
+        return fn
+
+    ta = a.map_batches(tag(True), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    tb = b.map_batches(tag(False), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    g = ta.union(tb).groupby(names).aggregate(
+        Sum("__sa", alias_name="__ca"), Sum("__sb", alias_name="__cb"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        ca = pc.fill_null(t["__ca"], 0).to_numpy(zero_copy_only=False)
+        cb = pc.fill_null(t["__cb"], 0).to_numpy(zero_copy_only=False)
+        if kind == "intersect":
+            copies = ((ca > 0) & (cb > 0)).astype(np.int64)
+        elif kind == "intersect_all":
+            copies = np.minimum(ca, cb)
+        elif kind == "except":
+            copies = ((ca > 0) & (cb == 0)).astype(np.int64)
+        else:  # except_all
+            copies = np.maximum(ca - cb, 0)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), copies)
+        return t.take(pa.array(idx)).drop_columns(["__ca", "__cb"])
+
+    return g.map_batches(expand, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def _execute_compound(comp: Compound, sf_dir: str, num_buckets: int,
                       broadcast_rows: int):
-    """UNION [ALL]: plan each branch, Dataset.union, optional distinct
-    (hash aggregate over all columns — one shuffle), trailing ORDER BY /
-    LIMIT on the combined stream."""
+    """Set-operation chains: plan each branch (recursively for nested
+    INTERSECT terms), fold left-associative — UNION ALL appends, runs of
+    UNION DISTINCT collapse to one hash dedup, INTERSECT/EXCEPT go
+    through the tagged-count kernel. Trailing ORDER BY / LIMIT on the
+    combined stream."""
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     names = None
     parts = []
     for s in comp.selects:
-        p = _execute_select(s, sf_dir, num_buckets, broadcast_rows)
+        if isinstance(s, Compound):
+            p = _execute_compound(s, sf_dir, num_buckets, broadcast_rows)
+        else:
+            p = _execute_select(s, sf_dir, num_buckets, broadcast_rows)
         if isinstance(p, pd.DataFrame):
             p = rd.from_pandas(p)
         cols = p.schema().names
         if names is None:
             names = cols
         elif cols != names:
-            raise ValueError(f"UNION branches must produce identical "
-                             f"column names: {names} vs {cols}")
+            raise ValueError(f"set-operation branches must produce "
+                             f"identical column names: {names} vs {cols}")
         parts.append(p)
-    # left-associative evaluation; a run of consecutive DISTINCT steps
-    # collapses to ONE dedup of everything accumulated through the run
-    # (dedup(dedup(A∪B)∪C) ≡ dedup(A∪B∪C)); ALL steps append raw
     out = parts[0]
     i = 0
     while i < len(comp.ops):
-        if comp.ops[i]:  # UNION ALL
+        op = comp.ops[i]
+        if op == "union_all":
             out = out.union(parts[i + 1])
             i += 1
-        else:
+        elif op == "union":
+            # dedup(dedup(A∪B)∪C) ≡ dedup(A∪B∪C): collapse the run
             j = i
-            while j < len(comp.ops) and not comp.ops[j]:
+            while j < len(comp.ops) and comp.ops[j] == "union":
                 j += 1
             out = out.union(*parts[i + 1:j + 1])
             out = _distinct_ds(out, names)
             i = j
+        else:
+            out = _setop(out, parts[i + 1], names, op)
+            i += 1
     if comp.order_by:
         named = [(n, Col(n)) for n in names]
         keys = [_order_key(named, e) for e, _ in comp.order_by]

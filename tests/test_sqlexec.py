@@ -684,3 +684,26 @@ def test_count_star_moving_frames(con):
         "SELECT event_id, CAST(COUNT(*) OVER (PARTITION BY user_id "
         "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND "
         "CURRENT ROW) AS BIGINT) AS c1h FROM events"))
+
+
+def test_intersect_except_set_ops(con):
+    """Round-5: INTERSECT/EXCEPT [ALL] — tagged-count hash aggregate +
+    multiset row expansion; INTERSECT binds tighter than UNION/EXCEPT
+    (standard precedence)."""
+    run_both(con, (
+        "SELECT user_id AS u FROM events WHERE event_type = 'click' "
+        "EXCEPT SELECT user_id AS u FROM events "
+        "WHERE event_type = 'purchase' AND user_id < 5"))
+    run_both(con, (
+        "SELECT o_orderstatus AS s FROM orders WHERE o_orderkey < 200 "
+        "INTERSECT ALL SELECT o_orderstatus AS s FROM orders "
+        "WHERE o_orderkey >= 200 AND o_orderkey < 260"))
+    run_both(con, (
+        "SELECT o_orderstatus AS s FROM orders WHERE o_orderkey < 200 "
+        "EXCEPT ALL SELECT o_orderstatus AS s FROM orders "
+        "WHERE o_orderkey >= 200 AND o_orderkey < 260"))
+    run_both(con, (
+        "SELECT user_id AS u FROM events WHERE event_type = 'view' UNION "
+        "SELECT user_id AS u FROM events WHERE event_type = 'click' "
+        "INTERSECT SELECT user_id AS u FROM events "
+        "WHERE event_type = 'purchase' ORDER BY u LIMIT 30"))
