@@ -2584,6 +2584,41 @@ def doc_bpe_token_counts(sf_dir: str):
     )
 
 
+@register("bpe_train_merges")  # iterative trainer → rows-only check
+def bpe_train_merges(sf_dir: str) -> pa.Table:
+    """BPE tokenizer TRAINING over the corpus (stages/bpe.py): one
+    distributed word-count aggregate (the corpus never reaches the
+    driver; the unique-word table is the bounded working set — the
+    GPT-2-style production shape), then a numpy-vectorized merge loop.
+    Deterministic tie-break → partition-invariant merge list."""
+    from sous_chef_ray.stages.bpe import bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    merges = bpe_train(docs, "text", num_merges=24)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string()),
+    })
+
+
+@register("bpe_encode_docs")  # rows-only (BPE is not SQL-expressible)
+def bpe_encode_docs(sf_dir: str) -> "rd.Dataset":
+    """Corpus encoded with a corpus-trained BPE vocab: actor-pool stage,
+    merge ranks broadcast once per actor, per-distinct-word memo."""
+    from sous_chef_ray.stages.bpe import bpe_encode, bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, "text", num_merges=24)
+    out = bpe_encode(docs, "text", merges, concurrency=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe_symbols": pc.list_value_length(t["bpe_symbols"]),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 _REPETITION_SQL = r"""
 SELECT doc_id,
        1.0 - CAST(length(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
