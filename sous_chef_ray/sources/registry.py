@@ -81,11 +81,50 @@ def _redis_source(**params: Any) -> StreamingSourceSpec:
     return StreamingSourceSpec("redis", **params)
 
 
+def _rename_stage(ds, field_mapping: Dict[str, str] | None):
+    if not field_mapping:
+        return ds
+    mapping = dict(field_mapping)
+
+    def rename(t):
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(rename, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _read_csv(path: str, columns=None,
+              field_mapping: Dict[str, str] | None = None, **_: Any):
+    """CSV source (ENGINE EXTENSION — not a reference type): Arrow CSV
+    reader via ray.data, column projection after parse (Arrow's CSV
+    reader has no pushdown), same field_mapping semantics as file."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return _rename_stage(ds, field_mapping)
+
+
+def _read_jsonl(path: str, columns=None,
+                field_mapping: Dict[str, str] | None = None, **_: Any):
+    """JSON-lines source (ENGINE EXTENSION): ray.data's Arrow JSON
+    reader (newline-delimited records)."""
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return _rename_stage(ds, field_mapping)
+
+
 class SourceRegistry:
     """type name → reader factory, with lazy registration and caching.
 
     All four reference source types register (reference SOURCE_TYPE_MAP,
-    sous_chef.py:32-37, pinned by tests/test_sous_chef.py:128-133)."""
+    sous_chef.py:32-37, pinned by tests/test_sous_chef.py:128-133);
+    csv/jsonl are engine extensions (SOURCE_PARAMS stays reference-exact
+    — unknown-type configs pass through unfiltered by design)."""
 
     _sources: Dict[str, Callable] = {}
     _builtin: Dict[str, Callable] = {
@@ -93,6 +132,8 @@ class SourceRegistry:
         "spark": _read_spark,
         "kafka": _kafka_source,
         "redis": _redis_source,
+        "csv": _read_csv,
+        "jsonl": _read_jsonl,
     }
 
     @classmethod

@@ -87,3 +87,40 @@ def test_streaming_sources_return_spec_objects():
     assert k.source_type == "kafka" and k.params["topic"] == "t"
     r = SourceRegistry.get_source("redis")(connection_string="redis://x", key_ttl=60)
     assert r.source_type == "redis" and r.params["key_ttl"] == 60
+
+
+def test_csv_and_jsonl_extension_sources(tmp_path, ray_session):
+    """Round-5 engine-extension source formats: CSV and JSON-lines read
+    through the same registry surface (projection + field_mapping), and
+    agree with the parquet reader on identical data. SOURCE_PARAMS stays
+    reference-exact — extension-type configs pass through unfiltered."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.sources.registry import (SOURCE_PARAMS,
+                                                SourceRegistry,
+                                                filter_source_config)
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                       "drop_me": [0.0, 1.0, 2.0]})
+    df.to_csv(tmp_path / "t.csv", index=False)
+    df.to_json(tmp_path / "t.jsonl", orient="records", lines=True)
+    df.to_parquet(tmp_path / "t.parquet")
+
+    base = SourceRegistry.get_source("file")(
+        str(tmp_path / "t.parquet"), columns=["a", "b"],
+        field_mapping={"b": "label"}).to_pandas()
+    for typ, fname in (("csv", "t.csv"), ("jsonl", "t.jsonl")):
+        got = SourceRegistry.get_source(typ)(
+            str(tmp_path / fname), columns=["a", "b"],
+            field_mapping={"b": "label"}).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values("a").reset_index(drop=True),
+            base.sort_values("a").reset_index(drop=True),
+            check_dtype=False)
+
+    # extension types are NOT in the reference-pinned param whitelist,
+    # so their configs pass through unfiltered
+    assert "csv" not in SOURCE_PARAMS and "jsonl" not in SOURCE_PARAMS
+    cfg = {"path": "p", "anything": 1}
+    assert filter_source_config("csv", cfg) == cfg
