@@ -70,7 +70,7 @@ _TOKEN_RE = re.compile(
       (?P<num>\d+\.\d+|\.\d+|\d+)
     | (?P<str>'(?:[^']|'')*')
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
-    | (?P<op><=|>=|<>|!=|\|\||[=<>+\-*/%(),])
+    | (?P<op><=|>=|<>|!=|\|\||[=<>+\-*/%(),.])
     )""",
     re.X,
 )
@@ -186,7 +186,7 @@ class Like:
 
 @dataclass(frozen=True)
 class Star:
-    pass
+    qual: Optional[str] = None  # `t.*` (lowercased relation alias)
 
 
 @dataclass(eq=False)  # identity hash: holds an unhashable Select
@@ -808,8 +808,11 @@ class _Parser:
                 self.expect_op(")")
                 return Win(fn, tuple(part), tuple(order), frame)
             return fn
-        # bare (possibly qualified) column
+        # bare (possibly qualified) column, or a qualified star `t.*`
         self.i += 1
+        if self.peek() == ("op", ".") and self.peek(1) == ("op", "*"):
+            self.i += 2
+            return Star(v.lower())
         parts = v.split(".")
         return Col(parts[-1], parts[-2].lower() if len(parts) > 1 else None)
 
@@ -1286,16 +1289,27 @@ def _expand_stars(sel: Select, sf_dir: str) -> None:
             _expand_stars(ref.sub, sf_dir)
     if not any(isinstance(e, Star) for _, e in sel.items):
         return
-    if sel.joins:
-        raise ValueError(
-            "SELECT * is supported for single-relation selects only")
-    cols = _ref_columns(sel.frm, sf_dir)
+    refs = [sel.frm] + [j.ref for j in sel.joins]
+
+    def _cols_for(qual: Optional[str]) -> List[Tuple[str, Optional[str]]]:
+        if qual is None:
+            if sel.joins:
+                # unqualified * over a join is ambiguous under the
+                # engine's same-named-key collapse; t.* is fine
+                raise ValueError("SELECT * over a join is ambiguous — "
+                                 "use qualified t.*")
+            return [(c, None) for c in _ref_columns(sel.frm, sf_dir)]
+        for r in refs:
+            if r.alias == qual:
+                return [(c, qual) for c in _ref_columns(r, sf_dir)]
+        raise KeyError(f"unknown relation {qual!r} in {qual}.*")
+
     items: List[Tuple[Optional[str], object]] = []
     for a, e in sel.items:
         if isinstance(e, Star):
             if a:
                 raise ValueError("* cannot take an alias")
-            items.extend((None, Col(c)) for c in cols)
+            items.extend((None, Col(c, q)) for c, q in _cols_for(e.qual))
         else:
             items.append((a, e))
     sel.items = items

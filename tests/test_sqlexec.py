@@ -707,3 +707,21 @@ def test_intersect_except_set_ops(con):
         "SELECT user_id AS u FROM events WHERE event_type = 'click' "
         "INTERSECT SELECT user_id AS u FROM events "
         "WHERE event_type = 'purchase' ORDER BY u LIMIT 30"))
+
+
+def test_qualified_star(con):
+    """Round-5: `t.*` expands to exactly that relation's columns — legal
+    over joins (unambiguous, unlike bare `*` under the same-named-key
+    collapse) and over derived tables."""
+    run_both(con, (
+        "SELECT n.*, c.c_name FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE c.c_custkey < 30"))
+    run_both(con, (
+        "SELECT t.* FROM (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 300000) t"))
+    with pytest.raises(ValueError):
+        sql_execute("SELECT o.o_orderkey AS k1, c.c_custkey AS k2 FROM "
+                    "orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+                    "UNION SELECT * FROM orders o JOIN customer c "
+                    "ON o.o_custkey = c.c_custkey", SF)
