@@ -2952,6 +2952,33 @@ def knn_lsh_top5(sf_dir: str):
     return out[["qid", "neighbor_id", "cosine_sim"]]
 
 
+@register("knn_pq_top5")  # approximate → rows-only
+def knn_pq_top5(sf_dir: str):
+    """Product-quantized approximate cosine top-5 (stages/similarity
+    knn_pq): ADC over m-byte codes narrows candidates, an exact rescore
+    of the bounded candidate set fixes the order — the memory-scale ANN
+    path (codes are m bytes/vector vs 4·dim for floats)."""
+    import pyarrow.parquet as pq
+
+    from sous_chef_ray.stages.similarity import knn_pq
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 10))
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 10)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = knn_pq(
+        corpus, q_tbl, id_col="vec_id", emb_col="embedding",
+        qid_col="vec_id", qemb_col="embedding", k=5, m=8, n_codes=32,
+        refine=4, concurrency=2,
+    )
+    out["cosine_sim"] = out["cosine_sim"].round(6)
+    return out[["qid", "neighbor_id", "cosine_sim"]]
+
+
 @register("knn_ivf_top5")  # approximate → rows-only
 def knn_ivf_top5(sf_dir: str):
     """IVF approximate cosine top-5 (the other scale path): coarse

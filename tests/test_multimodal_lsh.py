@@ -511,3 +511,52 @@ def test_kmeans_distributed_recovers_blobs_and_is_partition_invariant():
             assert (blob == blob[0]).all()
         assert len(set(got[::200])) == 3
     assert (outs[0] == outs[1]).all()
+
+
+def test_pq_recall_and_compression():
+    """Round-5 PQ ANN: ADC over m-byte codes recovers most exact cosine
+    neighbors on a clustered corpus; the coded table is m bytes/vector
+    (fixed_size_list<uint8>)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.similarity import (knn_brute_force, knn_pq,
+                                                 pq_encode, pq_train)
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 24)) * 4
+    qpts = centers + rng.standard_normal((8, 24)) * 0.2
+    planted = np.concatenate([
+        qpts[i] + rng.standard_normal((5, 24)) * 0.05 for i in range(8)
+    ])  # each query's true top-5: tight near-duplicates
+    noise = np.concatenate([
+        centers[i] + rng.standard_normal((120, 24)) * 2.0
+        for i in range(8)
+    ])
+    pts = np.concatenate([qpts, planted, noise]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+    })
+    q = tbl.slice(0, 8)
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    exact = knn_brute_force(ds, q, k=5, concurrency=2)
+    approx = knn_pq(ds, q, k=5, m=8, n_codes=32, sample_rows=1200,
+                    concurrency=2)
+    hits = 0
+    for qid in range(8):
+        e = set(exact[exact["qid"] == qid]["neighbor_id"])
+        a = set(approx[approx["qid"] == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / (8 * 5) >= 0.7, hits
+
+    books = pq_train(ds, m=8, n_codes=32, sample_rows=1200)
+    coded = pq_encode(ds, books, concurrency=2)
+    t = pa.concat_tables(coded.iter_batches(batch_size=None,
+                                            batch_format="pyarrow"))
+    f = t.schema.field("pq_code").type
+    assert pa.types.is_fixed_size_list(f) and f.list_size == 8
+    assert f.value_type == pa.uint8()
+    assert len(t) == len(pts)
