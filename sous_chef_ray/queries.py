@@ -2619,6 +2619,65 @@ def bpe_encode_docs(sf_dir: str) -> "rd.Dataset":
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+_PSI_SQL = """
+WITH b AS (
+  SELECT CAST(value >= 25 AS INT) + CAST(value >= 50 AS INT)
+       + CAST(value >= 100 AS INT) + CAST(value >= 200 AS INT) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+           AS is_base
+  FROM events
+), c AS (
+  SELECT bin, CAST(SUM(is_base) AS BIGINT) AS n_base,
+         CAST(SUM(1 - is_base) AS BIGINT) AS n_curr
+  FROM b GROUP BY bin
+), bins AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) AS v(bin)),
+f AS (
+  SELECT bins.bin, COALESCE(c.n_base, 0) AS n_base,
+         COALESCE(c.n_curr, 0) AS n_curr
+  FROM bins LEFT JOIN c ON bins.bin = c.bin
+), p AS (
+  SELECT bin, n_base, n_curr,
+         CAST(n_base AS DOUBLE) / SUM(n_base) OVER () AS pb,
+         CAST(n_curr AS DOUBLE) / SUM(n_curr) OVER () AS pc
+  FROM f
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CASE bin WHEN 0 THEN CAST('-infinity' AS DOUBLE) WHEN 1 THEN 25
+            WHEN 2 THEN 50 WHEN 3 THEN 100 ELSE 200 END AS lo,
+       CASE bin WHEN 0 THEN 25 WHEN 1 THEN 50 WHEN 2 THEN 100
+            WHEN 3 THEN 200 ELSE CAST('infinity' AS DOUBLE) END AS hi,
+       n_base, n_curr,
+       ROUND((pc - pb) * ln(GREATEST(pc, 1e-6) / GREATEST(pb, 1e-6)), 6)
+           AS psi_contrib,
+       ROUND(SUM((pc - pb) * ln(GREATEST(pc, 1e-6) / GREATEST(pb, 1e-6)))
+             OVER (), 6) AS psi_total
+FROM p
+"""
+
+
+@register("events_value_psi", _PSI_SQL)
+def events_value_psi(sf_dir: str) -> pa.Table:
+    """Distribution-drift PSI (stages/drift.distribution_psi): value
+    distribution of the first half of January vs the rest, fixed bin
+    edges [25, 50, 100, 200]. Exact integer bin counts hash-match the
+    oracle; the PSI floats round to 6 decimals on both sides (libm ulp
+    differences are far below that)."""
+    from sous_chef_ray.stages.drift import distribution_psi
+
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+    cut = np.datetime64("2024-01-16T00:00:00", "us")
+
+    def mask(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_base",
+            pc.less(t["ts"], pa.scalar(cut, type=pa.timestamp("us"))))
+
+    tagged = ev.map_batches(mask, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return distribution_psi(tagged, "value", "is_base",
+                            bin_edges=[25, 50, 100, 200])
+
+
 _REPETITION_SQL = r"""
 SELECT doc_id,
        1.0 - CAST(length(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
