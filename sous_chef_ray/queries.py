@@ -2619,6 +2619,23 @@ def bpe_encode_docs(sf_dir: str) -> "rd.Dataset":
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("bm25_search_docs")  # ln-based ranking → rows-only
+def bm25_search_docs(sf_dir: str):
+    """Okapi BM25 ranked retrieval over documents (stages/text
+    bm25_search): two streaming corpus passes (query-vocab df stats,
+    then score + per-batch local top-k) and a distributed per-qid
+    reduce — document text never reaches the driver."""
+    from sous_chef_ray.stages.text import bm25_search
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_search(
+        docs,
+        {"q_the_and": "the and", "q_of_to": "of to in"},
+        id_col="doc_id", text_col="text", k=5, concurrency=2)
+    out["score"] = out["score"].round(6)
+    return out
+
+
 _PSI_SQL = """
 WITH b AS (
   SELECT CAST(value >= 25 AS INT) + CAST(value >= 50 AS INT)

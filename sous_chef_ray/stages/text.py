@@ -625,3 +625,160 @@ def flag_duplicate_substrings(
         return t.append_column("dup_span_words", pa.array(span))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (SURVEY §2.F text analysis — ranked search over the corpus)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_corpus_stats(ds, text_col: str, terms):
+    """ONE streaming pass → (N, total_len, df per query term). Each
+    batch emits a single tiny partial row (term dfs as a fixed-length
+    vector), so the reduce is a driver-side sum of per-batch rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    term_arr = pa.array(list(terms), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(t[text_col].combine_chunks())
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        code = pc.index_in(flat, value_set=term_arr)
+        valid = pc.is_valid(code)
+        c = pc.fill_null(code, 0).to_numpy(zero_copy_only=False)
+        v = np.asarray(valid)
+        # df: count DOCS containing the term (dedupe (doc, term) pairs)
+        key = parents[v] * len(term_arr) + c[v]
+        uniq = np.unique(key)
+        df = np.bincount((uniq % len(term_arr)).astype(np.int64),
+                         minlength=len(term_arr))
+        dl = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "total_len": pa.array([int(dl.sum())], pa.int64()),
+            "df": pa.array([df.astype(np.int64)],
+                           pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    total_len = int(parts["total_len"].sum())
+    df = np.sum(np.stack([np.asarray(v) for v in parts["df"]]), axis=0)
+    return n_docs, total_len, df
+
+
+class _Bm25Score:
+    """Per-batch BM25 scoring against broadcast query term stats: one
+    Arrow tokenize, one index_in probe, one bincount → the (doc, term)
+    tf matrix; per query a dense dot with its idf vector."""
+
+    def __init__(self, spec_ref, id_col, text_col, k):
+        import ray
+
+        spec = ray.get(spec_ref)
+        self.terms = spec["terms"]          # pa.array of query vocab
+        self.idf = spec["idf"]              # (n_terms,) float64
+        self.qmask = spec["qmask"]          # (nq, n_terms) bool
+        self.qids = spec["qids"]
+        self.k1, self.b = spec["k1"], spec["b"]
+        self.avgdl = spec["avgdl"]
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    def __call__(self, t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        words = pc.utf8_split_whitespace(t[self.text_col].combine_chunks())
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        code = pc.index_in(flat, value_set=self.terms)
+        v = np.asarray(pc.is_valid(code))
+        c = pc.fill_null(code, 0).to_numpy(zero_copy_only=False)
+        nt = len(self.terms)
+        tf = np.bincount(parents[v] * nt + c[v],
+                         minlength=len(t) * nt).reshape(len(t), nt)
+        dl = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        denom = tf + self.k1 * (1 - self.b
+                                + self.b * dl[:, None] / self.avgdl)
+        comp = self.idf[None, :] * tf * (self.k1 + 1) / denom
+        sims = self.qmask @ comp.T  # (nq, batch)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        return pa.table({
+            "qid": pa.array(np.repeat(self.qids, k)),
+            "doc_id": pa.array(ids[top.reshape(-1)]),
+            "score": pa.array(
+                np.take_along_axis(sims, top, axis=1).reshape(-1),
+                type=pa.float64()),
+        })
+
+
+def bm25_search(
+    ds,
+    queries,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    concurrency: int | tuple = 4,
+):
+    """Ranked BM25 retrieval: ``queries`` = {qid: "query text"}. Two
+    streaming passes over the corpus (stats, then score+local-topk) and
+    a distributed per-qid top-k reduce — document text never reaches
+    the driver; only the query-vocabulary df vector and the final
+    nq × k rows do. Okapi idf: ln((N − df + 0.5)/(df + 0.5) + 1)."""
+    import pyarrow as pa
+
+    import ray
+
+    from sous_chef_ray.stages._util import pool
+    from sous_chef_ray.stages.partition import partition_apply
+
+    qids = list(queries)
+    qterms = {q: queries[q].split() for q in qids}
+    vocab = sorted({w for ts in qterms.values() for w in ts})
+    terms = pa.array(vocab, pa.string())
+    n_docs, total_len, df = _bm25_corpus_stats(ds, text_col, vocab)
+    avgdl = total_len / max(n_docs, 1)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    qmask = np.zeros((len(qids), len(vocab)))
+    pos = {w: i for i, w in enumerate(vocab)}
+    for r, q in enumerate(qids):
+        for w in qterms[q]:
+            qmask[r, pos[w]] = 1.0
+    spec_ref = ray.put(dict(terms=terms, idf=idf, qmask=qmask,
+                            qids=np.array(qids), k1=k1, b=b,
+                            avgdl=avgdl))
+    cand = ds.map_batches(
+        _Bm25Score,
+        fn_constructor_kwargs=dict(spec_ref=spec_ref, id_col=id_col,
+                                   text_col=text_col, k=k),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("qid", "ascending"), ("score", "descending"),
+                       ("doc_id", "ascending")])
+        q = t["qid"].to_numpy(zero_copy_only=False)
+        n = len(q)
+        arange = np.arange(n, dtype=np.int64)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = q[1:] != q[:-1]
+        start = np.maximum.accumulate(np.where(change, arange, 0))
+        return t.take(pa.array(np.nonzero(arange - start < k)[0]))
+
+    out = partition_apply(cand, "qid", topk, num_buckets=8,
+                          batch_format="pyarrow").to_pandas()
+    return out.sort_values(["qid", "score", "doc_id"],
+                           ascending=[True, False, True],
+                           kind="mergesort").reset_index(drop=True)

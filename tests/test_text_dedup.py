@@ -524,3 +524,47 @@ def test_latest_per_key_multikey_and_null_keys():
         .to_pandas().sort_values("v").reset_index(drop=True)
     )
     assert list(out["v"]) == [200, 300, 400, 600]
+
+
+def test_bm25_matches_reference():
+    """Round-5 BM25 retrieval vs a textbook Okapi implementation."""
+    import math
+
+    from sous_chef_ray.stages.text import bm25_search
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog chased the cat",
+        "dogs and cats living together",
+        "a quiet evening with a book",
+        "the book about dogs",
+        "cat cat cat cat",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    queries = {"q_cat": "cat", "q_dogbook": "dogs book"}
+    got = bm25_search(rd.from_arrow(tbl).repartition(3), queries,
+                      k=3, concurrency=2)
+
+    # textbook reference
+    k1, b = 1.2, 0.75
+    toks = [d.split() for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    def idf(term):
+        df = sum(term in t for t in toks)
+        return math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+    def score(term_list, t):
+        s = 0.0
+        for term in term_list:
+            tf = t.count(term)
+            s += idf(term) * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl))
+        return s
+    for qid, qtext in queries.items():
+        exp = sorted(range(N),
+                     key=lambda i: (-score(qtext.split(), toks[i]), i))[:3]
+        sub = got[got["qid"] == qid]
+        assert list(sub["doc_id"]) == exp, (qid, list(sub["doc_id"]), exp)
+        for did, sc in zip(sub["doc_id"], sub["score"]):
+            assert abs(sc - score(qtext.split(), toks[did])) < 1e-9
