@@ -1318,6 +1318,70 @@ def sessionize_events(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "ts", "session_id"])
 
 
+_SESSION_STATS_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM (SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events)
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("session_value_stats", _SESSION_STATS_SQL)
+def session_value_stats(sf_dir: str):
+    """Per-session aggregates over gap sessions (SURVEY §2.D composed
+    with §2.C3): sessionize keeps payload columns, timestamps aggregate
+    as int64 µs (Ray's pandas reduce mangles nullable timestamps — the
+    funnel query's documented workaround), exact integer cents."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from sous_chef_ray.stages.session import sessionize
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    sess = sessionize(
+        ev, "user_id", "ts", gap=pd.Timedelta(minutes=30),
+        tie_by="event_id", num_buckets=_buckets(sf_dir, "events"),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "session_id": t["session_id"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+            "ts_us": pc.cast(t["ts"].combine_chunks().cast(
+                pa.timestamp("us")), pa.int64()),
+        })
+
+    agg = (sess.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby(["user_id", "session_id"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("cents", alias_name="sum_cents"),
+                      Min("ts_us", alias_name="__t0"),
+                      Max("ts_us", alias_name="__t1")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "session_id": t["session_id"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_cents": t["sum_cents"],
+            "duration_us": pc.subtract(t["__t1"], t["__t0"]),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # North-rule: backfill over a dense spine
 # ---------------------------------------------------------------------------
