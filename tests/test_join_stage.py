@@ -137,3 +137,38 @@ def test_broadcast_join_matches_pandas_merge_oracle(ray_session):
             .sort_values(["k", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got[["k", "v", "w"]], exp[["k", "v", "w"]], check_dtype=False)
+
+
+def test_dimindex_property_matches_pandas_merge():
+    """Property test: random one-to-many int keys with nulls — DimIndex
+    inner/left output row-sets equal pandas merge (null keys never
+    match, per SQL; pandas merge also drops NaN matches)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        fk=st.lists(st.one_of(st.integers(0, 6), st.none()),
+                    min_size=0, max_size=25),
+        dk=st.lists(st.integers(0, 6), min_size=0, max_size=12),
+        how=st.sampled_from(["inner", "left"]),
+    )
+    def check(fk, dk, how):
+        fact = pa.table({
+            "k": pa.array(fk, pa.int64()),
+            "v": pa.array(range(len(fk)), pa.int64()),
+        })
+        dim = pa.table({
+            "k": pa.array(dk, pa.int64()),
+            "w": pa.array(range(len(dk)), pa.int64()),
+        })
+        idx = DimIndex(dim, ["k"], how, drop_keys=frozenset(["k"]))
+        got = idx.merge(fact, ["k"]).to_pandas()
+        exp = fact.to_pandas().merge(dim.to_pandas(), on="k", how=how)
+        key = lambda df: sorted(
+            (-1 if pd.isna(r.k) else int(r.k), int(r.v),
+             -1 if pd.isna(r.w) else int(r.w))
+            for r in df.itertuples())
+        assert key(got) == key(exp)
+
+    check()
