@@ -1109,24 +1109,27 @@ def rolling_event_value(sf_dir: str):
 
     ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["cents"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
-        return df.drop(columns=["value"])
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("cents", c)
 
     out = with_rolling_sum_count(
-        ev.map_batches(cents, batch_format="pandas"),
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
         "user_id", ["ts", "event_id"], "cents", window=30,
         sum_name="rolling_cents", cnt_name="rolling_cnt", num_buckets=_buckets(sf_dir, "events"),
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["rolling_cents"] = df["rolling_cents"].astype(np.int64)
-        df["rolling_avg"] = df["rolling_cents"] / (100.0 * df["rolling_cnt"])
-        return df[["user_id", "event_id", "ts", "rolling_cents", "rolling_avg"]]
+    def finish(t: pa.Table) -> pa.Table:
+        rc = pc.cast(t["rolling_cents"], pa.int64())
+        avg = pc.divide(pc.cast(rc, pa.float64()),
+                        pc.multiply(pc.cast(t["rolling_cnt"],
+                                            pa.float64()), 100.0))
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "ts": t["ts"], "rolling_cents": rc,
+                         "rolling_avg": avg})
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 _CENTERED_ROLLING_SQL = """
@@ -1280,13 +1283,12 @@ def running_event_value(sf_dir: str):
 
     ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["cents"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
-        return df.drop(columns=["value"])
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("cents", c)
 
     out = with_running_sum(
-        ev.map_batches(cents, batch_format="pandas"),
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
         "user_id", ["ts", "event_id"], "cents",
         name="running_cents", num_buckets=_buckets(sf_dir, "events"),
     )
@@ -4072,20 +4074,21 @@ def doc_distinctive_terms(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def tf_batch(df_: pd.DataFrame) -> pd.DataFrame:
-        toks = df_["text"].str.split(" ")
-        n = toks.str.len()
-        flat = pd.DataFrame({
-            "doc_id": df_["doc_id"].repeat(n).to_numpy(),
-            "token": np.concatenate(toks.to_numpy()),
-        })
-        flat = flat[flat["token"] != ""]
-        out = flat.groupby(["doc_id", "token"], sort=False).size()
-        out = out.rename("tf").reset_index()
-        out["tf"] = out["tf"].astype("int64")
-        return out
+    def tf_batch(t: pa.Table) -> pa.Table:
+        # split on single spaces (pc.split_pattern, NOT whitespace-split)
+        # to stay token-identical with the oracle's string_split(text,' ')
+        words = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        doc = t["doc_id"].combine_chunks().take(parents)
+        tbl = pa.table({"doc_id": doc, "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        g = tbl.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "token": g["token"],
+                         "tf": pc.cast(g["count_all"], pa.int64())})
 
-    tf = docs.map_batches(tf_batch, batch_format="pandas").materialize()
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
     df = tf.groupby("token").aggregate(Count(alias_name="df"))
     joined = hash_join(tf, df, on="token", num_partitions=_partitions(sf_dir, "documents"))
     top = topk_per_group(
