@@ -259,6 +259,7 @@ class Select:
     qualify: object = None  # window-predicate filter (Snowflake/DuckDB)
     order_by: List[Tuple[object, bool]] = field(default_factory=list)
     limit: Optional[int] = None
+    offset: int = 0
     distinct: bool = False
 
     @property
@@ -512,6 +513,15 @@ class _Parser:
             if k != "num":
                 raise ValueError(f"expected LIMIT count, got {v!r}")
             sel.limit = int(v)
+            if self.accept_kw("OFFSET"):
+                k2, v2 = self.next()
+                if k2 != "num":
+                    raise ValueError(f"expected OFFSET count, got {v2!r}")
+                sel.offset = int(v2)
+                if not sel.order_by:
+                    raise ValueError("OFFSET requires ORDER BY (the "
+                                     "skipped rows are otherwise "
+                                     "nondeterministic)")
         return sel
 
     # --- expressions (precedence climbing) ---
@@ -1493,7 +1503,7 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         qualify=(_replace(sel.qualify, repl)
                  if sel.qualify is not None else None),
         order_by=[(_replace(e, repl), d) for e, d in sel.order_by],
-        limit=sel.limit, distinct=sel.distinct)
+        limit=sel.limit, offset=sel.offset, distinct=sel.distinct)
 
 
 class _BroadcastMergeChain:
@@ -1922,7 +1932,7 @@ def _rewrite_select(sel: Select, mapping: dict) -> Select:
         qualify=(_replace(sel.qualify, mapping)
                  if sel.qualify is not None else None),
         order_by=[(_replace(e, mapping), d) for e, d in sel.order_by],
-        limit=sel.limit, distinct=sel.distinct)
+        limit=sel.limit, offset=sel.offset, distinct=sel.distinct)
 
 
 def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64,
@@ -2043,6 +2053,21 @@ def _execute_compound(comp: Compound, sf_dir: str, num_buckets: int,
     return out
 
 
+def _limit_offset(out, limit: int, offset: int):
+    """LIMIT n OFFSET m over a SORTED stream: fetch the first m+n rows
+    (streaming limit), gather the bounded remainder ORDER-PRESERVING
+    (iter_batches keeps dataset order; repartition would not) and slice
+    off the offset — ≤ m+n rows ever materialize."""
+    import ray.data as rd
+
+    if not offset:
+        return out.limit(limit)
+    head = pa.concat_tables(
+        out.limit(limit + offset).iter_batches(batch_size=None,
+                                               batch_format="pyarrow"))
+    return rd.from_arrow(head.slice(offset))
+
+
 def _distinct_ds(out, names: List[str]):
     """Full-row distinct: one hash aggregate over all columns."""
     from ray.data.aggregate import Count
@@ -2090,7 +2115,7 @@ def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
         keys = [_order_key(named, e) for e, _ in sel.order_by]
         out = out.sort(keys, descending=[d for _, d in sel.order_by])
     if sel.limit is not None:
-        out = out.limit(sel.limit)
+        out = _limit_offset(out, sel.limit, sel.offset)
     return out
 
 
@@ -2372,7 +2397,8 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         out = out.sort_values(keys, ascending=[not d for _, d in sel.order_by],
                               kind="mergesort").reset_index(drop=True)
     if sel.limit is not None:
-        out = out.head(sel.limit)
+        out = out.iloc[sel.offset:sel.offset + sel.limit]
+        out = out.reset_index(drop=True)
     return out
 
 
@@ -2704,5 +2730,5 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
         keys = [_order_key(named, e) for e, _ in sel.order_by]
         final = final.sort(keys, descending=[d for _, d in sel.order_by])
     if sel.limit is not None:
-        final = final.limit(sel.limit)
+        final = _limit_offset(final, sel.limit, sel.offset)
     return final

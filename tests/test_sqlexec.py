@@ -725,3 +725,21 @@ def test_qualified_star(con):
                     "orders o JOIN customer c ON o.o_custkey = c.c_custkey "
                     "UNION SELECT * FROM orders o JOIN customer c "
                     "ON o.o_custkey = c.c_custkey", SF)
+
+
+def test_limit_offset(con):
+    """Round-5: LIMIT n OFFSET m on all three execution paths — an
+    order-preserving bounded gather of m+n rows; OFFSET without ORDER BY
+    is rejected (nondeterministic)."""
+    run_both(con, (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 7"))
+    run_both(con, (
+        "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "GROUP BY o_custkey ORDER BY o_custkey LIMIT 5 OFFSET 3"))
+    run_both(con, (
+        "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders "
+        "ORDER BY o_orderkey LIMIT 8 OFFSET 4"))
+    with pytest.raises(ValueError):
+        sql_execute("SELECT o_orderkey FROM orders LIMIT 5 OFFSET 2", SF)
