@@ -1586,7 +1586,14 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
         nodes.append(sel.having)
     if sel.qualify is not None:
         nodes.append(sel.qualify)
-    nodes += [e for e, _ in sel.order_by]
+    # ORDER BY may name a SELECT-item alias (e.g. ORDER BY n over
+    # COUNT(*) AS n): aliases are output columns, not base columns —
+    # exclude them from base-relation resolution (the finishers map
+    # them to output names via _order_key)
+    aliases = {a.lower() for a, _ in sel.items if a}
+    nodes += [e for e, _ in sel.order_by
+              if not (isinstance(e, Col) and e.qual is None
+                      and e.name.lower() in aliases)]
     nodes += [j.on for j in sel.joins if j.on is not None]
     resolved: dict = {}
     for n in nodes:

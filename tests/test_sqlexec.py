@@ -743,3 +743,14 @@ def test_limit_offset(con):
         "ORDER BY o_orderkey LIMIT 8 OFFSET 4"))
     with pytest.raises(ValueError):
         sql_execute("SELECT o_orderkey FROM orders LIMIT 5 OFFSET 2", SF)
+
+
+def test_order_by_select_alias(con):
+    """Round-5: ORDER BY may name a SELECT-item alias (output column,
+    not base column) on aggregate and projection paths."""
+    run_both(con, (
+        "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 5 OFFSET 3"))
+    run_both(con, (
+        "SELECT o_orderkey, o_totalprice * 2 AS dbl FROM orders "
+        "ORDER BY dbl DESC, o_orderkey LIMIT 6"))
