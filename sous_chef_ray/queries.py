@@ -5224,6 +5224,12 @@ FROM orders
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 """,
+    # LIMIT/OFFSET pagination (order-preserving bounded gather) +
+    # ORDER BY naming a select alias
+    "sql_execute_topk_offset": """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 20 OFFSET 10
+""",
     # dates + arithmetic + NULLIF/COALESCE surface
     "sql_execute_scalar_dates": """
 SELECT l_orderkey, l_linenumber,
@@ -5492,6 +5498,7 @@ _WINDOW_PRIORITY = [
     "sql_execute_range_frame", "sql_execute_last_value_default",
     "sql_execute_left_join_nonequi", "sql_execute_union_mixed",
     "sql_execute_agg_filter", "sql_execute_intersect_except",
+    "sql_execute_topk_offset",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",
