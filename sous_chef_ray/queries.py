@@ -5219,6 +5219,12 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
        AVG(o_orderkey) AS avg_key
 FROM orders
 """,
+    # bare COUNT(*): the plan needs ZERO input columns — the scan keeps
+    # one narrow key column so Arrow blocks carry their row count (a
+    # zero-column block loses it through Ray's shuffle)
+    "sql_execute_count_star": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+""",
     # ORDER BY + LIMIT on a streaming projection (global top-k)
     "sql_execute_topk": """
 SELECT o_orderkey, o_totalprice FROM orders

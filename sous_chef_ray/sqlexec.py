@@ -1670,14 +1670,20 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
                 t = pa.Table.from_pandas(side, preserve_index=False)
                 if pushed[i]:
                     t = _filter_fn(_and_all(pushed[i]))(t)
-                return t.select(cols).to_pandas()
-            side = side.select_columns(cols)
+                return (t.select(cols) if cols else t).to_pandas()
+            if cols:
+                side = side.select_columns(cols)
             if pushed[i]:
                 side = side.map_batches(_filter_fn(_and_all(pushed[i])),
                                         batch_format="pyarrow",
                                         zero_copy_batch=True)
             return side
         path = f"{sf_dir}/{ref.table}.parquet"
+        if not cols:
+            # COUNT(*)-only over this relation: zero-column Arrow blocks
+            # lose their row count through Ray — keep the first (narrow,
+            # key) column at the scan instead
+            cols = [pq.ParquetFile(path).schema_arrow.names[0]]
         # partial pushdown: each conjunct lands in the scan when
         # scan-expressible; only the rest become a runtime filter
         scan_parts, rt_parts = [], []
@@ -1698,8 +1704,9 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
 
     def build_small(i: int) -> pa.Table:
         """Small base relation as a bounded in-memory dim table."""
+        small_cols = sorted(needed[i])
         t = pq.read_table(f"{sf_dir}/{refs[i].table}.parquet",
-                          columns=sorted(needed[i]))
+                          columns=small_cols or None)
         if pushed[i]:
             t = _filter_fn(_and_all(pushed[i]))(t)
         return t
@@ -2279,6 +2286,14 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         agg_col[a] = f"__qa{i}"
         proj.append((f"__qa{i}_in", a.args[0]))
 
+    # COUNT(*)-only global aggregate: an empty projection would emit
+    # zero-column batches, and Arrow blocks with no columns carry no row
+    # count through Ray's shuffle — project the constant group key instead
+    proj_has_g = False
+    if not proj:
+        proj.append(("__g", Lit(0, "int")))
+        proj_has_g = True
+
     slim = ds.map_batches(_project_fn(proj), batch_format="pyarrow",
                           zero_copy_batch=True)
     # >1 consumer of the pruned projection (main aggregate + each
@@ -2299,10 +2314,11 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         s2 = slim
         qkeys = key_names
         if not key_names:
-            s2 = slim.map_batches(
-                lambda t: t.append_column(
-                    "__g", pa.array(np.zeros(len(t), np.int8))),
-                batch_format="pyarrow")
+            if not proj_has_g:
+                s2 = slim.map_batches(
+                    lambda t: t.append_column(
+                        "__g", pa.array(np.zeros(len(t), np.int8))),
+                    batch_format="pyarrow")
             qkeys = ["__g"]
         for i, a in enumerate(q_aggs):
             if a.name == "MEDIAN":
@@ -2320,12 +2336,25 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
 
     if not key_names:
         # global aggregate: Ray needs a groupby key → constant key column
-        slim = slim.map_batches(
-            lambda t: t.append_column("__g", pa.array(np.zeros(len(t), np.int8))),
-            batch_format="pyarrow")
+        if not proj_has_g:
+            slim = slim.map_batches(
+                lambda t: t.append_column(
+                    "__g", pa.array(np.zeros(len(t), np.int8))),
+                batch_format="pyarrow")
         agg_t = slim.groupby("__g").aggregate(*ray_aggs).to_pandas() \
             if ray_aggs else pd.DataFrame({"__g": [0]})
-        agg_t = agg_t.drop(columns=["__g"])
+        if "__g" in agg_t.columns:
+            agg_t = agg_t.drop(columns=["__g"])
+        if not len(agg_t):
+            # empty input: a global aggregate still yields exactly one
+            # row — COUNT = 0, SUM/MIN/MAX/AVG = NULL
+            row = {}
+            for a in plain:
+                nm = agg_col[a]
+                row[nm] = 0 if a.name == "COUNT" else np.nan
+                if a.name == "AVG":
+                    row[nm + "_n"] = np.nan
+            agg_t = pd.DataFrame([row])
     elif ray_aggs:
         agg_t = slim.groupby(key_names).aggregate(*ray_aggs).to_pandas()
     else:

@@ -537,6 +537,24 @@ def test_in_subquery_with_null_projected(con):
         " AS k FROM customer) AS f FROM orders"))
 
 
+def test_global_count_star_no_where(con):
+    """Global COUNT(*) with no GROUP BY and no WHERE needs zero input
+    columns; the plan must keep one scan column so Arrow blocks carry
+    their row count through Ray (zero-column blocks lose it)."""
+    run_both(con, "SELECT COUNT(*) AS n FROM part")
+    run_both(con, ("SELECT COUNT(*) AS n FROM "
+                   "(SELECT o_custkey FROM orders "
+                   " WHERE o_totalprice > 100000) t"))
+
+
+def test_global_aggregate_empty_input(con):
+    """Global aggregate over zero rows still yields exactly one row:
+    COUNT = 0, SUM/AVG/MIN/MAX = NULL."""
+    run_both(con, ("SELECT COUNT(*) AS n, SUM(l_quantity) AS s, "
+                   "AVG(l_discount) AS a, MAX(l_tax) AS mx "
+                   "FROM lineitem WHERE l_quantity < -5"))
+
+
 def test_global_quantile_empty_input(con):
     """ADVICE r5 (low): global quantile over zero rows returns NULL like
     SUM/AVG instead of raising IndexError."""
