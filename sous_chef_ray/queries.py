@@ -5225,6 +5225,13 @@ FROM orders
     "sql_execute_count_star": """
 SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
 """,
+    # global COUNT(DISTINCT): no GROUP BY keys — buckets on the constant
+    # group key (partition_apply needs ≥1 key), merged scalar-wise
+    "sql_execute_count_distinct_global": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders
+""",
     # ORDER BY + LIMIT on a streaming projection (global top-k)
     "sql_execute_topk": """
 SELECT o_orderkey, o_totalprice FROM orders

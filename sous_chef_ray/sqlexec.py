@@ -2364,10 +2364,17 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
             Count(alias_name="__gn")).to_pandas().drop(columns=["__gn"])
 
     if distinct_aggs:
-        dctx = count_distinct(slim, key_names, "__aggd_in", name="__aggd",
+        # global COUNT(DISTINCT): slim already carries the constant __g
+        # key by this point — bucket on it (partition_apply needs ≥1 key)
+        dkeys = key_names if key_names else ["__g"]
+        dctx = count_distinct(slim, dkeys, "__aggd_in", name="__aggd",
                               num_buckets=num_buckets).to_pandas()
-        agg_t = agg_t.merge(dctx, on=key_names, how="left")
-        agg_t["__aggd"] = agg_t["__aggd"].fillna(0).astype("int64")
+        if not key_names:
+            agg_t["__aggd"] = np.int64(
+                dctx["__aggd"].iloc[0] if len(dctx) else 0)
+        else:
+            agg_t = agg_t.merge(dctx, on=key_names, how="left")
+            agg_t["__aggd"] = agg_t["__aggd"].fillna(0).astype("int64")
 
     for i, qt in enumerate(q_tables):
         if key_names:

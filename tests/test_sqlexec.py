@@ -555,6 +555,17 @@ def test_global_aggregate_empty_input(con):
                    "FROM lineitem WHERE l_quantity < -5"))
 
 
+def test_global_count_distinct(con):
+    """Global COUNT(DISTINCT x) — no GROUP BY keys — buckets on the
+    constant group key instead of crashing partition_apply, including
+    mixed with plain aggregates and over empty input (→ 0)."""
+    run_both(con, "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders")
+    run_both(con, ("SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS d "
+                   "FROM orders"))
+    run_both(con, ("SELECT COUNT(DISTINCT o_custkey) AS d FROM orders "
+                   "WHERE o_totalprice < -1"))
+
+
 def test_global_quantile_empty_input(con):
     """ADVICE r5 (low): global quantile over zero rows returns NULL like
     SUM/AVG instead of raising IndexError."""
