@@ -5225,6 +5225,15 @@ FROM orders
     "sql_execute_count_star": """
 SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
 """,
+    # named WINDOW clause: one definition shared by several OVER w refs
+    # (the Snowflake/Teradata reporting idiom), resolved at parse time
+    "sql_execute_named_window": """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       ROW_NUMBER() OVER w AS rn
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
     # global COUNT(DISTINCT): no GROUP BY keys — buckets on the constant
     # group key (partition_apply needs ≥1 key), merged scalar-wise
     "sql_execute_count_distinct_global": """

@@ -142,6 +142,7 @@ class Win:
     partition_by: tuple
     order_by: tuple  # of (expr, desc: bool)
     frame: Optional[str] = None  # None | 'rows_unbounded_preceding'
+    ref: Optional[str] = None  # unresolved `OVER w` named-window reference
 
 
 @dataclass(frozen=True)
@@ -285,9 +286,9 @@ class Compound:
 
 # idents that end a table alias position in the FROM clause
 _TABLE_STOP = {
-    "WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT", "JOIN",
-    "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON", "UNION",
-    "INTERSECT", "EXCEPT", "AS",
+    "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON",
+    "UNION", "INTERSECT", "EXCEPT", "AS",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
@@ -494,8 +495,10 @@ class _Parser:
                     break
         if self.accept_kw("HAVING"):
             sel.having = self.parse_expr()
+        named_wins = self._parse_window_clause()
         if self.accept_kw("QUALIFY"):
             sel.qualify = self.parse_expr()
+        named_wins.update(self._parse_window_clause())
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
             while True:
@@ -522,7 +525,46 @@ class _Parser:
                     raise ValueError("OFFSET requires ORDER BY (the "
                                      "skipped rows are otherwise "
                                      "nondeterministic)")
+        self._resolve_named_windows(sel, named_wins)
         return sel
+
+    def _parse_window_clause(self) -> dict:
+        """WINDOW w AS (spec)[, w2 AS (spec)] — named window definitions
+        (standard position: after HAVING, before ORDER BY; also accepted
+        after QUALIFY for the Snowflake ordering)."""
+        named = {}
+        if not self.accept_kw("WINDOW"):
+            return named
+        while True:
+            k, name = self.next()
+            if k != "ident":
+                raise ValueError(f"expected window name, got {name!r}")
+            self.expect_kw("AS")
+            self.expect_op("(")
+            part, order, frame = self._parse_window_spec()
+            named[name.lower()] = (tuple(part), tuple(order), frame)
+            if not self.accept_op(","):
+                break
+        return named
+
+    @staticmethod
+    def _resolve_named_windows(sel: "Select", named: dict) -> None:
+        """Rewrite `OVER w` placeholder Win nodes to their WINDOW-clause
+        definitions everywhere a window call can appear."""
+        mapping = {}
+        for w in _find(sel, Win):
+            if w.ref is None:
+                continue
+            spec = named.get(w.ref)
+            if spec is None:
+                raise ValueError(f"unknown window name {w.ref!r}")
+            mapping[w] = Win(w.func, spec[0], spec[1], spec[2])
+        if not mapping:
+            return
+        sel.items = [(a, _replace(e, mapping)) for a, e in sel.items]
+        sel.having = _replace(sel.having, mapping)
+        sel.qualify = _replace(sel.qualify, mapping)
+        sel.order_by = [(_replace(e, mapping), d) for e, d in sel.order_by]
 
     # --- expressions (precedence climbing) ---
     def parse_expr(self):
@@ -743,79 +785,16 @@ class _Parser:
             # OVER clause → window
             if self.peek_kw() == "OVER":
                 self.i += 1
+                if self.peek() != ("op", "("):
+                    # named window reference: OVER w — resolved against
+                    # the WINDOW clause after the full SELECT is parsed
+                    kr, vr = self.next()
+                    if kr != "ident":
+                        raise ValueError(
+                            f"expected window name or '(', got {vr!r}")
+                    return Win(fn, (), (), None, ref=vr.lower())
                 self.expect_op("(")
-                part: List[object] = []
-                order: List[Tuple[object, bool]] = []
-                frame = None
-                if self.accept_kw("PARTITION"):
-                    self.expect_kw("BY")
-                    part.append(self.parse_expr())
-                    while self.accept_op(","):
-                        part.append(self.parse_expr())
-                if self.accept_kw("ORDER"):
-                    self.expect_kw("BY")
-                    order = self._parse_order_list()
-                if self.accept_kw("ROWS"):
-                    if self.accept_kw("BETWEEN"):
-                        if self.accept_kw("UNBOUNDED"):
-                            self.expect_kw("PRECEDING")
-                            lo = None
-                        else:
-                            k2, v2 = self.next()
-                            if k2 != "num":
-                                raise ValueError("expected frame bound")
-                            lo = int(v2)
-                            self.expect_kw("PRECEDING")
-                        self.expect_kw("AND")
-                        if self.accept_kw("UNBOUNDED"):
-                            self.expect_kw("FOLLOWING")
-                            hi = None
-                        elif self.accept_kw("CURRENT"):
-                            self.expect_kw("ROW")
-                            hi = 0
-                        else:
-                            k3, v3 = self.next()
-                            if k3 != "num":
-                                raise ValueError("expected frame bound")
-                            hi = int(v3)
-                            self.expect_kw("FOLLOWING")
-                        if lo is None and hi is None:
-                            frame = "full_partition"
-                        elif lo is None and hi == 0:
-                            frame = "rows_unbounded_preceding"
-                        elif lo is not None:
-                            frame = ("rows", lo, hi)
-                        else:
-                            raise ValueError("UNBOUNDED PRECEDING with a "
-                                             "numeric upper bound is not "
-                                             "supported")
-                    else:
-                        self.expect_kw("UNBOUNDED")
-                        self.expect_kw("PRECEDING")
-                        frame = "rows_unbounded_preceding"
-                elif self.accept_kw("RANGE"):
-                    self.expect_kw("BETWEEN")
-                    if self.accept_kw("UNBOUNDED"):
-                        self.expect_kw("PRECEDING")
-                        lo_ivl = None
-                    else:
-                        # INTERVAL literal (time-RANGE) or numeric bound
-                        b = self.parse_expr()
-                        if not isinstance(b, Lit) or b.kind not in (
-                                "interval", "int"):
-                            raise ValueError(
-                                "RANGE lower bound must be an INTERVAL "
-                                "or integer literal")
-                        lo_ivl = b.value
-                        self.expect_kw("PRECEDING")
-                    self.expect_kw("AND")
-                    self.expect_kw("CURRENT")
-                    self.expect_kw("ROW")
-                    # SQL's default frame when ORDER BY is present is
-                    # RANGE UNBOUNDED PRECEDING..CURRENT ROW — map the
-                    # explicit spelling to frame None (same semantics)
-                    frame = None if lo_ivl is None else ("range", lo_ivl)
-                self.expect_op(")")
+                part, order, frame = self._parse_window_spec()
                 return Win(fn, tuple(part), tuple(order), frame)
             return fn
         # bare (possibly qualified) column, or a qualified star `t.*`
@@ -825,6 +804,84 @@ class _Parser:
             return Star(v.lower())
         parts = v.split(".")
         return Col(parts[-1], parts[-2].lower() if len(parts) > 1 else None)
+
+    def _parse_window_spec(self):
+        """Window specification body — after the opening '(' up to and
+        including the closing ')'. Shared by OVER (...) and the named
+        WINDOW clause."""
+        part: List[object] = []
+        order: List[Tuple[object, bool]] = []
+        frame = None
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            part.append(self.parse_expr())
+            while self.accept_op(","):
+                part.append(self.parse_expr())
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            order = self._parse_order_list()
+        if self.accept_kw("ROWS"):
+            if self.accept_kw("BETWEEN"):
+                if self.accept_kw("UNBOUNDED"):
+                    self.expect_kw("PRECEDING")
+                    lo = None
+                else:
+                    k2, v2 = self.next()
+                    if k2 != "num":
+                        raise ValueError("expected frame bound")
+                    lo = int(v2)
+                    self.expect_kw("PRECEDING")
+                self.expect_kw("AND")
+                if self.accept_kw("UNBOUNDED"):
+                    self.expect_kw("FOLLOWING")
+                    hi = None
+                elif self.accept_kw("CURRENT"):
+                    self.expect_kw("ROW")
+                    hi = 0
+                else:
+                    k3, v3 = self.next()
+                    if k3 != "num":
+                        raise ValueError("expected frame bound")
+                    hi = int(v3)
+                    self.expect_kw("FOLLOWING")
+                if lo is None and hi is None:
+                    frame = "full_partition"
+                elif lo is None and hi == 0:
+                    frame = "rows_unbounded_preceding"
+                elif lo is not None:
+                    frame = ("rows", lo, hi)
+                else:
+                    raise ValueError("UNBOUNDED PRECEDING with a "
+                                     "numeric upper bound is not "
+                                     "supported")
+            else:
+                self.expect_kw("UNBOUNDED")
+                self.expect_kw("PRECEDING")
+                frame = "rows_unbounded_preceding"
+        elif self.accept_kw("RANGE"):
+            self.expect_kw("BETWEEN")
+            if self.accept_kw("UNBOUNDED"):
+                self.expect_kw("PRECEDING")
+                lo_ivl = None
+            else:
+                # INTERVAL literal (time-RANGE) or numeric bound
+                b = self.parse_expr()
+                if not isinstance(b, Lit) or b.kind not in (
+                        "interval", "int"):
+                    raise ValueError(
+                        "RANGE lower bound must be an INTERVAL "
+                        "or integer literal")
+                lo_ivl = b.value
+                self.expect_kw("PRECEDING")
+            self.expect_kw("AND")
+            self.expect_kw("CURRENT")
+            self.expect_kw("ROW")
+            # SQL's default frame when ORDER BY is present is
+            # RANGE UNBOUNDED PRECEDING..CURRENT ROW — map the
+            # explicit spelling to frame None (same semantics)
+            frame = None if lo_ivl is None else ("range", lo_ivl)
+        self.expect_op(")")
+        return part, order, frame
 
 
 def parse_sql(sql: str) -> Select:

@@ -555,6 +555,35 @@ def test_global_aggregate_empty_input(con):
                    "FROM lineitem WHERE l_quantity < -5"))
 
 
+def test_named_window_clause(con):
+    """WINDOW w AS (...) named windows: `OVER w` references resolve to
+    the clause's spec (multiple windows, frames, and QUALIFY use)."""
+    run_both(con, (
+        "SELECT event_id, LAG(value) OVER w AS prev_v, "
+        "LEAD(value) OVER w AS next_v "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id)"))
+    run_both(con, (
+        "SELECT o_orderkey, SUM(o_totalprice) OVER w1 AS run_sum, "
+        "ROW_NUMBER() OVER w2 AS rn FROM orders "
+        "WINDOW w1 AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), "
+        "w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"))
+    run_both(con, (
+        "SELECT o_custkey, o_orderkey FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) "
+        "QUALIFY ROW_NUMBER() OVER w <= 2"))
+
+
+def test_named_window_unknown_name():
+    from sous_chef_ray.sqlexec import parse_sql
+
+    with pytest.raises(ValueError, match="unknown window name"):
+        parse_sql("SELECT ROW_NUMBER() OVER nope AS rn FROM orders "
+                  "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)")
+
+
 def test_global_count_distinct(con):
     """Global COUNT(DISTINCT x) — no GROUP BY keys — buckets on the
     constant group key instead of crashing partition_apply, including
