@@ -2611,9 +2611,7 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
             out = with_row_number(out, part_cols, order_cols, descs,
                                   name=out_col, num_buckets=num_buckets)
         elif fname in ("RANK", "DENSE_RANK"):
-            if len(order_cols) != 1:
-                raise ValueError("RANK needs exactly one ORDER BY key")
-            out = with_rank(out, part_cols, order_cols[0], descs[0],
+            out = with_rank(out, part_cols, order_cols, descs,
                             name=out_col, dense=fname == "DENSE_RANK",
                             num_buckets=num_buckets)
         elif fname in ("LAG", "LEAD"):

@@ -100,24 +100,31 @@ def with_row_number(
 def with_rank(
     ds: "rd.Dataset",
     partition_by: List[str] | str,
-    order_by: str,
-    descending: bool = False,
+    order_by: List[str] | str,
+    descending: bool | List[bool] = False,
     name: str = "rank",
     dense: bool = False,
     num_buckets: int = 64,
 ) -> "rd.Dataset":
-    """SQL RANK() / DENSE_RANK() semantics (ties share a rank)."""
-    keys = _as_list(partition_by)
+    """SQL RANK() / DENSE_RANK() semantics (ties share a rank). Peers
+    are rows equal on ALL order keys, with NULLs equal to each other
+    (SQL ordering treats NULL as one value, not NaN != NaN)."""
+    import pandas as pd
+
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
     def fn(t: pa.Table) -> pa.Table:
         t, key_change, group_start, arange = _sorted_with_bounds(
-            t, keys, [order_by], descending
+            t, keys, order, descending
         )
         n = len(t)
-        ov = t[order_by].to_numpy(zero_copy_only=False)
         value_change = key_change.copy()
         if n:
-            value_change[1:] |= ov[1:] != ov[:-1]
+            for oc in order:
+                ov = t[oc].to_numpy(zero_copy_only=False)
+                na = pd.isna(ov)
+                eq = (ov[1:] == ov[:-1]) | (na[1:] & na[:-1])
+                value_change[1:] |= ~eq
         if dense:
             vc_cum = np.cumsum(value_change)
             base = np.maximum.accumulate(np.where(key_change, vc_cum, 0))

@@ -576,6 +576,21 @@ def test_named_window_clause(con):
         "QUALIFY ROW_NUMBER() OVER w <= 2"))
 
 
+def test_rank_multi_key_order(con):
+    """RANK/DENSE_RANK over several ORDER BY keys (peers = rows equal on
+    ALL keys), including mixed ASC/DESC directions."""
+    run_both(con, (
+        "SELECT l_orderkey, l_linenumber, "
+        "RANK() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_returnflag, l_linestatus) AS rk, "
+        "DENSE_RANK() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_returnflag, l_linestatus) AS drk FROM lineitem"))
+    run_both(con, (
+        "SELECT o_orderkey, RANK() OVER w AS rk FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderpriority)"))
+
+
 def test_named_window_unknown_name():
     from sous_chef_ray.sqlexec import parse_sql
 
