@@ -2722,16 +2722,14 @@ def _execute_window(ds, sel: Select, wins: List[Win], num_buckets: int):
         elif fname in ("NTILE", "PERCENT_RANK", "CUME_DIST"):
             from sous_chef_ray.stages.window import with_ntile_pct
 
-            if len(order_cols) != 1:
-                raise ValueError(f"{fname} needs exactly one ORDER BY key")
             n_tiles = (_scalar_int(w.func.args[0]) if fname == "NTILE"
                        else 2)
             names = {"NTILE": f"{out_col}_nt", "PERCENT_RANK": f"{out_col}_pr",
                      "CUME_DIST": f"{out_col}_cd"}
             names[fname] = out_col
             out = with_ntile_pct(
-                out, part_cols, order_cols[0], n_tiles=n_tiles,
-                descending=descs[0], ntile_name=names["NTILE"],
+                out, part_cols, order_cols, n_tiles=n_tiles,
+                descending=descs, ntile_name=names["NTILE"],
                 pct_rank_name=names["PERCENT_RANK"],
                 cume_dist_name=names["CUME_DIST"], num_buckets=num_buckets)
             out = out.drop_columns([v for k, v in names.items()

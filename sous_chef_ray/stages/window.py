@@ -409,9 +409,9 @@ def with_running_sum(
 def with_ntile_pct(
     ds: "rd.Dataset",
     partition_by: List[str] | str,
-    order_by: str,
+    order_by: List[str] | str,
     n_tiles: int = 4,
-    descending: bool = False,
+    descending: bool | List[bool] = False,
     ntile_name: str = "ntile",
     pct_rank_name: str = "pct_rank",
     cume_dist_name: str = "cume_dist",
@@ -419,12 +419,15 @@ def with_ntile_pct(
 ) -> "rd.Dataset":
     """NTILE(n) / PERCENT_RANK() / CUME_DIST() in one pass (SQL
     semantics: NTILE splits each partition into n groups, larger groups
-    first; PERCENT_RANK = (rank-1)/(rows-1); CUME_DIST = #peers≤ / rows)."""
-    keys = _as_list(partition_by)
+    first; PERCENT_RANK = (rank-1)/(rows-1); CUME_DIST = #peers≤ / rows).
+    Peers are rows equal on ALL order keys, NULLs equal to each other."""
+    import pandas as pd
+
+    keys, order = _as_list(partition_by), _as_list(order_by)
 
     def fn(t: pa.Table) -> pa.Table:
         t, key_change, group_start, arange = _sorted_with_bounds(
-            t, keys, [order_by], descending
+            t, keys, order, descending
         )
         n = len(t)
         key_end = np.zeros(n, dtype=bool)
@@ -445,10 +448,13 @@ def with_ntile_pct(
                 r + np.where(q > 0, (pos - big) // np.maximum(q, 1), 0),
             ) + 1
         # rank (ties share) for percent_rank; peer-group end for cume_dist
-        ov = t[order_by].to_numpy(zero_copy_only=False)
         value_change = key_change.copy()
         if n:
-            value_change[1:] |= ov[1:] != ov[:-1]
+            for oc in order:
+                ov = t[oc].to_numpy(zero_copy_only=False)
+                na = pd.isna(ov)
+                eq = (ov[1:] == ov[:-1]) | (na[1:] & na[:-1])
+                value_change[1:] |= ~eq
         first_tie = np.maximum.accumulate(np.where(value_change, arange, 0))
         rank = first_tie - group_start + 1
         value_end = np.zeros(n, dtype=bool)

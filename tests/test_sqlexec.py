@@ -591,6 +591,21 @@ def test_rank_multi_key_order(con):
         "ORDER BY o_orderdate DESC, o_orderpriority)"))
 
 
+def test_ntile_pct_multi_key_order(con):
+    """NTILE / PERCENT_RANK / CUME_DIST over several ORDER BY keys.
+    NTILE gets a TOTAL order (tie placement is engine-dependent
+    otherwise); the peer-based pr/cd are deterministic under ties."""
+    run_both(con, (
+        "SELECT l_orderkey, l_linenumber, NTILE(3) OVER w AS nt "
+        "FROM lineitem WINDOW w AS (PARTITION BY l_orderkey "
+        "ORDER BY l_returnflag, l_linenumber)"))
+    run_both(con, (
+        "SELECT l_orderkey, l_linenumber, PERCENT_RANK() OVER w AS pr, "
+        "CUME_DIST() OVER w AS cd "
+        "FROM lineitem WINDOW w AS (PARTITION BY l_orderkey "
+        "ORDER BY l_returnflag, l_linestatus)"))
+
+
 def test_named_window_unknown_name():
     from sous_chef_ray.sqlexec import parse_sql
 
