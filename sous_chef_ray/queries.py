@@ -5468,6 +5468,31 @@ SELECT o_orderstatus,
             FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS nd
 FROM orders GROUP BY o_orderstatus
 """,
+    # multiple DISTINCT aggregates per query (COUNT/SUM/AVG(DISTINCT)) —
+    # aggs sharing an argument share ONE distinct-reduce pass
+    # (stages/agg.distinct_count_sum); integer casts keep both sides exact
+    "sql_execute_multi_distinct": """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       CAST(SUM(DISTINCT CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+           AS sum_qty_d,
+       AVG(DISTINCT CAST(ROUND(l_quantity) AS BIGINT)) AS avg_qty_d,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    # QUALIFY over GROUP BY results: rank windows evaluate on the bounded
+    # post-aggregate table after HAVING, then the predicate filters
+    "sql_execute_qualify_over_agg": """
+SELECT o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_custkey
+QUALIFY ROW_NUMBER() OVER (ORDER BY
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    DESC, o_custkey) <= 25
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides

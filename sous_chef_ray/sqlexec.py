@@ -2164,10 +2164,10 @@ def _execute_select(sel: Select, sf_dir: str, num_buckets: int,
         aggs.extend(_find_aggs(e))
     if sel.having is not None:
         aggs.extend(_find_aggs(sel.having))
+    if sel.qualify is not None:
+        aggs.extend(_find_aggs(sel.qualify))
 
     if sel.group_by or aggs:
-        if sel.qualify is not None:
-            raise ValueError("QUALIFY over aggregated results unsupported")
         return _execute_aggregate(ds, sel, aggs, num_buckets)
 
     wins = []
@@ -2273,7 +2273,7 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
     aggregate) → bounded post-aggregate expression evaluation."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    from sous_chef_ray.stages.agg import count_distinct
+    from sous_chef_ray.stages.agg import distinct_count_sum
 
     # group keys: resolve ordinals (GROUP BY 1) to select expressions
     key_exprs = []
@@ -2297,10 +2297,25 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         if a not in uniq:
             uniq.append(a)
     distinct_aggs = [a for a in uniq if a.distinct]
-    if any(a.name != "COUNT" for a in distinct_aggs):
-        raise ValueError("only COUNT(DISTINCT x) is supported")
-    if len(distinct_aggs) > 1:
-        raise ValueError("at most one COUNT(DISTINCT x) per query")
+    # DISTINCT aggregates: any number of COUNT/SUM/AVG(DISTINCT x); aggs
+    # sharing an argument expression share ONE distinct reduce pass
+    d_args: List[object] = []
+    d_need_sum: List[bool] = []
+    d_of: dict = {}
+    for idx, a in enumerate(distinct_aggs):
+        if a.name not in ("COUNT", "SUM", "AVG"):
+            raise ValueError(
+                f"unsupported DISTINCT aggregate {a.name} (COUNT/SUM/AVG)")
+        arg = a.args[0]
+        try:
+            j = d_args.index(arg)
+        except ValueError:
+            j = len(d_args)
+            d_args.append(arg)
+            d_need_sum.append(False)
+        if a.name in ("SUM", "AVG"):
+            d_need_sum[j] = True
+        d_of[a] = j
     q_aggs = [a for a in uniq if not a.distinct and a.name in _QUANTILE_FNS]
     plain = [a for a in uniq if not a.distinct and a.name not in _QUANTILE_FNS]
 
@@ -2335,10 +2350,10 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
             ray_aggs.append(Sum(nm + "_n", alias_name=nm + "_n"))
         else:
             raise ValueError(f"unsupported aggregate {a.name}")
-    if distinct_aggs:
-        d = distinct_aggs[0]
-        agg_col[d] = "__aggd"
-        proj.append(("__aggd_in", d.args[0]))
+    for idx, a in enumerate(distinct_aggs):
+        agg_col[a] = f"__adv{idx}"
+    for j, arg in enumerate(d_args):
+        proj.append((f"__ad{j}_in", arg))
     for i, a in enumerate(q_aggs):
         agg_col[a] = f"__qa{i}"
         proj.append((f"__qa{i}_in", a.args[0]))
@@ -2358,7 +2373,7 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
     # recomputing the read+project per consumer (slim is the narrow
     # post-projection table; spill beats recompute — same call as the
     # prepare_corpus two-consumer branch)
-    if len(q_aggs) + (1 if distinct_aggs else 0) >= 1:
+    if len(q_aggs) + len(d_args) >= 1:
         slim = slim.materialize()
 
     # exact quantiles (MEDIAN / QUANTILE_CONT / QUANTILE_DISC): bucketed
@@ -2421,17 +2436,41 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
             Count(alias_name="__gn")).to_pandas().drop(columns=["__gn"])
 
     if distinct_aggs:
-        # global COUNT(DISTINCT): slim already carries the constant __g
-        # key by this point — bucket on it (partition_apply needs ≥1 key)
+        # global DISTINCT aggregates: slim already carries the constant
+        # __g key by this point — bucket on it (partition_apply needs ≥1)
         dkeys = key_names if key_names else ["__g"]
-        dctx = count_distinct(slim, dkeys, "__aggd_in", name="__aggd",
-                              num_buckets=num_buckets).to_pandas()
-        if not key_names:
-            agg_t["__aggd"] = np.int64(
-                dctx["__aggd"].iloc[0] if len(dctx) else 0)
-        else:
-            agg_t = agg_t.merge(dctx, on=key_names, how="left")
-            agg_t["__aggd"] = agg_t["__aggd"].fillna(0).astype("int64")
+        for j in range(len(d_args)):
+            cn = f"__ad{j}_cnt"
+            sn = f"__ad{j}_sum" if d_need_sum[j] else None
+            dctx = distinct_count_sum(
+                slim, dkeys, f"__ad{j}_in", cnt_name=cn, sum_name=sn,
+                num_buckets=num_buckets).to_pandas()
+            if not key_names:
+                agg_t[cn] = np.int64(dctx[cn].iloc[0] if len(dctx) else 0)
+                if sn:
+                    agg_t[sn] = (dctx[sn].iloc[0] if len(dctx) else np.nan)
+            else:
+                agg_t = agg_t.merge(dctx, on=key_names, how="left")
+                agg_t[cn] = agg_t[cn].fillna(0).astype("int64")
+        # derive each DISTINCT aggregate's output column from (cnt, sum)
+        for a in distinct_aggs:
+            j, nm = d_of[a], agg_col[a]
+            cn, sn = f"__ad{j}_cnt", f"__ad{j}_sum"
+            if a.name == "COUNT":
+                agg_t[nm] = agg_t[cn]
+            elif a.name == "SUM":
+                # SQL: SUM over zero distinct non-null values is NULL;
+                # keep the exact integer dtype when no group is empty
+                if bool((agg_t[cn] == 0).any()):
+                    agg_t[nm] = agg_t[sn].astype("float64").where(
+                        agg_t[cn] > 0, np.nan)
+                else:
+                    agg_t[nm] = agg_t[sn]
+            else:  # AVG(DISTINCT) = sum/count of the distinct values
+                c = agg_t[cn].to_numpy(dtype=np.float64)
+                s = agg_t[sn].to_numpy(dtype=np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    agg_t[nm] = np.where(c > 0, s / c, np.nan)
 
     for i, qt in enumerate(q_tables):
         if key_names:
@@ -2472,7 +2511,10 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
     # rank-family windows over the aggregated result (SQL evaluation
     # order: after HAVING) — bounded, one row per group
     wins: List[Win] = []
-    for _, e in sel.items:
+    win_sources: list = [e for _, e in sel.items]
+    if sel.qualify is not None:
+        win_sources.append(sel.qualify)
+    for e in win_sources:
         for wnode in _find(e, Win):
             if wnode not in wins:
                 wins.append(wnode)
@@ -2486,6 +2528,14 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
 
         def finalize(expr, _f=_fin):  # noqa: F811
             return _f(_replace(expr, win_map))
+
+    if sel.qualify is not None:
+        # QUALIFY evaluates after HAVING and the window functions (the
+        # bounded post-aggregate table makes this a vectorized filter)
+        mask = eval_expr(finalize(sel.qualify), at)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        at = at.filter(pc.fill_null(mask, False))
 
     named = [(_out_name(a, e), finalize(e)) for a, e in sel.items]
     out = _project_fn(named)(at).to_pandas()

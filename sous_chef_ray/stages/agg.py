@@ -92,6 +92,67 @@ def count_distinct(
     )
 
 
+def distinct_count_sum(
+    ds: "rd.Dataset",
+    keys: List[str] | str,
+    col: str,
+    cnt_name: str = "n_distinct",
+    sum_name: Optional[str] = None,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """COUNT(DISTINCT col) and optionally SUM(DISTINCT col) GROUP BY keys
+    in ONE pass — serves SUM/AVG(DISTINCT x) in the SQL compiler (AVG =
+    sum/count post-agg). Same plan shape as count_distinct: per-batch
+    Arrow hash-distinct combiner, then a sorted boundary reduce per key
+    inside its bucket. The per-run sum uses np.add.reduceat over the
+    null-dropped value array — exact for integer dtypes (no float
+    round-trip), deterministic ascending order for floats. A run with no
+    valid values reports count 0 / sum 0 (the caller maps count==0 →
+    SQL NULL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.select(keys + [col]).group_by(
+            keys + [col]).aggregate([])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = batch_distinct(t)  # distinct across the whole bucket
+        t, starts = _sorted_runs(t, keys, [col])
+        n = len(t)
+        marks = np.zeros(n, dtype=bool)
+        marks[starts] = True
+        run_id = np.cumsum(marks) - 1
+        arr = t[col].combine_chunks() if n else t[col]
+        valid = np.asarray(pc.is_valid(arr)) \
+            if n else np.array([], dtype=bool)
+        cnt = np.bincount(run_id[valid], minlength=len(starts)) \
+            if n else np.array([], dtype=np.int64)
+        cols = _keys_at(t, keys, starts)
+        cols[cnt_name] = pa.array(cnt.astype(np.int64))
+        if sum_name is not None:
+            rv = run_id[valid]
+            if len(rv):
+                # drop_null preserves order, so positions align with rv
+                vals = arr.drop_null().to_numpy(zero_copy_only=False)
+                seg = np.flatnonzero(np.r_[True, rv[1:] != rv[:-1]])
+                sums = np.add.reduceat(vals, seg)
+                out = np.zeros(len(starts), dtype=sums.dtype)
+                out[rv[seg]] = sums
+            else:
+                out = np.zeros(len(starts), dtype=np.float64)
+            cols[sum_name] = pa.array(out)
+        return pa.table(cols)
+
+    return partition_apply(
+        ds.map_batches(batch_distinct, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys, fn, num_buckets, batch_format="pyarrow",
+    )
+
+
 def _group_quantile_impl(ds, keys, col, q, name, num_buckets, disc: bool):
     import pyarrow as pa
     import pyarrow.compute as pc

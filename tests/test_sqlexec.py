@@ -657,6 +657,56 @@ def test_qualify_topk_and_rank(con):
         "ORDER BY o_orderdate) = 1"))
 
 
+def test_multi_distinct_aggregates(con):
+    """Any number of COUNT/SUM/AVG(DISTINCT x) per query (round-5);
+    aggs sharing an argument share one distinct-reduce pass. Integer
+    casts keep SUM/AVG exact on both sides."""
+    run_both(con, (
+        "SELECT l_returnflag, "
+        "COUNT(DISTINCT l_suppkey) AS n_supp, "
+        "COUNT(DISTINCT l_partkey) AS n_part, "
+        "CAST(SUM(DISTINCT CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
+        "AS sum_qty_d, "
+        "AVG(DISTINCT CAST(ROUND(l_quantity) AS BIGINT)) AS avg_qty_d, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag"))
+    # global (no GROUP BY) variant
+    run_both(con, (
+        "SELECT COUNT(DISTINCT user_id) AS n_users, "
+        "CAST(SUM(DISTINCT CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents_d FROM events WHERE event_type = 'click'"))
+
+
+def test_sum_distinct_all_null_group_is_null(con):
+    """SUM(DISTINCT x) over a group with zero non-null values is NULL."""
+    run_both(con, (
+        "SELECT user_id, "
+        "SUM(DISTINCT CASE WHEN event_type = 'no_such_type' "
+        "THEN CAST(ROUND(value) AS BIGINT) END) AS s "
+        "FROM events GROUP BY user_id"))
+
+
+def test_qualify_over_aggregate(con):
+    """QUALIFY over GROUP BY results (round-5): rank-family windows
+    evaluate on the bounded post-aggregate table, after HAVING; the
+    QUALIFY predicate filters before projection."""
+    run_both(con, (
+        "SELECT o_custkey, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders GROUP BY o_custkey "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "DESC, o_custkey) <= 10"))
+    # window only referenced in QUALIFY + HAVING interaction
+    run_both(con, (
+        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "HAVING COUNT(*) > 10 "
+        "QUALIFY RANK() OVER (PARTITION BY l_returnflag "
+        "ORDER BY COUNT(*) DESC) = 1"))
+
+
 def test_time_range_frame(con):
     """RANGE BETWEEN INTERVAL n PRECEDING AND CURRENT ROW (round-5):
     searchsorted rolling kernel; integer-cents for exactness."""
