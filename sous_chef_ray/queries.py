@@ -5493,6 +5493,24 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY
     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
     DESC, o_custkey) <= 25
 """,
+    # GROUP BY ROLLUP compiled from SQL text: one finest-grain Ray
+    # aggregate, bounded per-set re-aggregation, GROUPING() indicators
+    "sql_execute_rollup_grouping": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    # GROUPING SETS with a grand-total set and AVG re-aggregation
+    "sql_execute_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+       AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS avg_cents
+FROM orders GROUP BY GROUPING SETS
+    ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides

@@ -262,6 +262,11 @@ class Select:
     limit: Optional[int] = None
     offset: int = 0
     distinct: bool = False
+    # ROLLUP / CUBE / GROUPING SETS: each entry is a list of indices into
+    # group_by naming the keys active in that grouping set (None = plain
+    # GROUP BY). Execution aggregates once at the finest grain and
+    # re-aggregates the bounded result per set.
+    group_sets: Optional[List[List[int]]] = None
 
     @property
     def table(self) -> Optional[str]:
@@ -489,10 +494,18 @@ class _Parser:
             sel.where = self.parse_expr()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            while True:
-                sel.group_by.append(self.parse_expr())
-                if not self.accept_op(","):
-                    break
+            if self.accept_kw("ROLLUP"):
+                self._parse_group_construct(sel, "rollup")
+            elif self.accept_kw("CUBE"):
+                self._parse_group_construct(sel, "cube")
+            elif self.accept_kw("GROUPING"):
+                self.expect_kw("SETS")
+                self._parse_grouping_sets(sel)
+            else:
+                while True:
+                    sel.group_by.append(self.parse_expr())
+                    if not self.accept_op(","):
+                        break
         if self.accept_kw("HAVING"):
             sel.having = self.parse_expr()
         named_wins = self._parse_window_clause()
@@ -527,6 +540,61 @@ class _Parser:
                                      "nondeterministic)")
         self._resolve_named_windows(sel, named_wins)
         return sel
+
+    def _parse_group_construct(self, sel: "Select", kind: str) -> None:
+        """GROUP BY ROLLUP(a, b, ...) / CUBE(a, b, ...) → grouping sets
+        over the listed keys (ROLLUP: each prefix; CUBE: every subset)."""
+        self.expect_op("(")
+        exprs = []
+        while True:
+            exprs.append(self.parse_expr())
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        sel.group_by = exprs
+        n = len(exprs)
+        if kind == "rollup":
+            sel.group_sets = [list(range(k)) for k in range(n, -1, -1)]
+        else:
+            sel.group_sets = sorted(
+                ([i for i in range(n) if mask & (1 << i)]
+                 for mask in range(1 << n)),
+                key=lambda s: (-len(s), s))
+
+    def _parse_grouping_sets(self, sel: "Select") -> None:
+        """GROUP BY GROUPING SETS ((a, b), (a), b, ()) — each set is a
+        parenthesized key list, a bare key, or () for the grand total."""
+        self.expect_op("(")
+        raw_sets: List[list] = []
+        while True:
+            s: list = []
+            if self.accept_op("("):
+                if not self.accept_op(")"):
+                    while True:
+                        s.append(self.parse_expr())
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+            else:
+                s.append(self.parse_expr())
+            raw_sets.append(s)
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        exprs: list = []
+        idx_sets: List[List[int]] = []
+        for s in raw_sets:
+            idx = []
+            for e in s:
+                try:
+                    j = exprs.index(e)
+                except ValueError:
+                    j = len(exprs)
+                    exprs.append(e)
+                idx.append(j)
+            idx_sets.append(idx)
+        sel.group_by = exprs
+        sel.group_sets = idx_sets
 
     def _parse_window_clause(self) -> dict:
         """WINDOW w AS (spec)[, w2 AS (spec)] — named window definitions
@@ -1560,7 +1628,8 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         qualify=(_replace(sel.qualify, repl)
                  if sel.qualify is not None else None),
         order_by=[(_replace(e, repl), d) for e, d in sel.order_by],
-        limit=sel.limit, offset=sel.offset, distinct=sel.distinct)
+        limit=sel.limit, offset=sel.offset, distinct=sel.distinct,
+        group_sets=sel.group_sets)
 
 
 class _BroadcastMergeChain:
@@ -2003,7 +2072,8 @@ def _rewrite_select(sel: Select, mapping: dict) -> Select:
         qualify=(_replace(sel.qualify, mapping)
                  if sel.qualify is not None else None),
         order_by=[(_replace(e, mapping), d) for e, d in sel.order_by],
-        limit=sel.limit, offset=sel.offset, distinct=sel.distinct)
+        limit=sel.limit, offset=sel.offset, distinct=sel.distinct,
+        group_sets=sel.group_sets)
 
 
 def sql_execute(sql: str, sf_dir: str, *, num_buckets: int = 64,
@@ -2318,6 +2388,9 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         d_of[a] = j
     q_aggs = [a for a in uniq if not a.distinct and a.name in _QUANTILE_FNS]
     plain = [a for a in uniq if not a.distinct and a.name not in _QUANTILE_FNS]
+    if sel.group_sets is not None and (distinct_aggs or q_aggs):
+        raise ValueError("DISTINCT / quantile aggregates are not supported "
+                         "with ROLLUP / CUBE / GROUPING SETS")
 
     proj: List[Tuple[str, object]] = list(zip(key_names, key_exprs))
     ray_aggs = []
@@ -2482,12 +2555,23 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
             agg_t[f"__qa{i}"] = (qt[f"__qa{i}"].iloc[0]
                                  if len(qt) else np.nan)
 
+    if sel.group_sets is not None:
+        # ROLLUP / CUBE / GROUPING SETS: re-aggregate the bounded
+        # finest-grain table once per set (SUM/COUNT re-sum, MIN/MAX
+        # re-extremize, AVG re-sums its parts), rolled-up keys → NULL
+        agg_t = _expand_grouping_sets(agg_t, sel.group_sets, key_names,
+                                      plain, agg_col)
+
     # bounded post-aggregate table (one row per group) → Arrow, then
     # evaluate the final select expressions with aggregates substituted
     at = pa.Table.from_pandas(agg_t, preserve_index=False)
     mapping = {a: Col(c) for a, c in agg_col.items()}
     for nm, ke in zip(key_names, key_exprs):
         mapping[ke] = Col(nm)
+    if sel.group_sets is not None:
+        # GROUPING(key) → the per-set 0/1 indicator column
+        for i, ke in enumerate(key_exprs):
+            mapping[Func("GROUPING", (ke,))] = Col(f"__grp{i}")
 
     def finalize(expr):
         expr = _replace(expr, mapping)
@@ -2550,6 +2634,70 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         out = out.iloc[sel.offset:sel.offset + sel.limit]
         out = out.reset_index(drop=True)
     return out
+
+
+def _expand_grouping_sets(agg_t: pd.DataFrame, group_sets: List[List[int]],
+                          key_names: List[str], plain: list,
+                          agg_col: dict) -> pd.DataFrame:
+    """Finest-grain post-aggregate table → union of one re-aggregated
+    frame per grouping set. Bounded driver-side work by design (the big
+    input was already reduced to one row per full key group). COUNT
+    columns re-sum plainly (never null); SUM / AVG parts re-sum with
+    min_count=1 (all-NULL → NULL, SQL semantics); MIN/MAX re-extremize.
+    Rolled-up key columns become NULL; __grp{i} carries GROUPING(key)."""
+    spec: List[Tuple[str, str]] = []
+    for a in plain:
+        nm = agg_col[a]
+        if a.name == "COUNT":
+            spec.append((nm, "count"))
+        elif a.name == "SUM":
+            spec.append((nm, "sum"))
+        elif a.name == "MIN":
+            spec.append((nm, "min"))
+        elif a.name == "MAX":
+            spec.append((nm, "max"))
+        else:  # AVG: numerator + count re-sum, division happens later
+            spec.append((nm, "sum"))
+            spec.append((nm + "_n", "count"))
+    n_keys = len(key_names)
+    parts = []
+    for s in group_sets:
+        keys = [key_names[i] for i in sorted(s)]
+        if sorted(s) == list(range(n_keys)):
+            sub = agg_t.copy()
+        elif keys:
+            g = agg_t.groupby(keys, dropna=False, sort=False)
+            cols = {}
+            for nm, how in spec:
+                if how == "count":
+                    cols[nm] = g[nm].sum()
+                elif how == "sum":
+                    cols[nm] = g[nm].sum(min_count=1)
+                elif how == "min":
+                    cols[nm] = g[nm].min()
+                else:
+                    cols[nm] = g[nm].max()
+            sub = pd.DataFrame(cols).reset_index()
+        else:
+            # grand total: always exactly one row, even over empty input
+            row = {}
+            for nm, how in spec:
+                col = agg_t[nm]
+                if how == "count":
+                    row[nm] = np.int64(col.sum()) if len(col) else np.int64(0)
+                elif how == "sum":
+                    row[nm] = col.sum(min_count=1) if len(col) else np.nan
+                elif how == "min":
+                    row[nm] = col.min() if len(col) else np.nan
+                else:
+                    row[nm] = col.max() if len(col) else np.nan
+            sub = pd.DataFrame([row])
+        for i in range(n_keys):
+            if i not in s:
+                sub[key_names[i]] = None
+            sub[f"__grp{i}"] = np.int64(0 if i in s else 1)
+        parts.append(sub)
+    return pd.concat(parts, ignore_index=True)
 
 
 def _qualify_topk(q) -> Optional[Tuple[Win, int]]:

@@ -707,6 +707,45 @@ def test_qualify_over_aggregate(con):
         "ORDER BY COUNT(*) DESC) = 1"))
 
 
+def test_rollup_cube_grouping_sets(con):
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS compile (round-5): one
+    finest-grain aggregate, bounded per-set re-aggregation, GROUPING()
+    indicators, rolled-up keys → NULL; HAVING applies per output row."""
+    run_both(con, (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"))
+    run_both(con, (
+        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS min_cents, "
+        "CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS max_cents "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"))
+    run_both(con, (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents, AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        "AS avg_cents FROM orders GROUP BY GROUPING SETS "
+        "((o_orderstatus, o_orderpriority), (o_orderstatus), ())"))
+    # HAVING filters the per-set output rows (grand total included)
+    run_both(con, (
+        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "HAVING COUNT(*) > 100"))
+
+
+def test_grouping_sets_reject_distinct(con):
+    """DISTINCT / quantile aggregates cannot re-aggregate from the
+    finest grain — clear error instead of wrong numbers."""
+    with pytest.raises(ValueError, match="ROLLUP / CUBE / GROUPING SETS"):
+        sql_execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag)", SF)
+
+
 def test_time_range_frame(con):
     """RANGE BETWEEN INTERVAL n PRECEDING AND CURRENT ROW (round-5):
     searchsorted rolling kernel; integer-cents for exactness."""
