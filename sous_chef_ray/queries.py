@@ -5511,6 +5511,15 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY GROUPING SETS
     ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """,
+    # correlated scalar aggregate subquery (TPC-H Q17 shape): decorrelated
+    # into a per-partkey AVG pre-aggregate LEFT-joined back; the inner
+    # aggregate table is bounded (one row per distinct correlation key)
+    "sql_execute_correlated_scalar": """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem l
+WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides

@@ -1588,11 +1588,89 @@ def _decorrelate_exists(node: Exists, sf_dir: str, num_buckets: int,
                  null_is_false=True)
 
 
+def _try_decorrelate_scalar(sub: Select, sf_dir: str, idx: int):
+    """Correlated scalar aggregate subquery — the TPC-H Q17 shape
+    ``(SELECT AGG(e) FROM inner WHERE inner.k = outer.x AND <inner
+    preds>)`` — decorrelated into a per-key pre-aggregate joined back as
+    a LEFT-join derived table. Returns (JoinSpec, replacement expr), or
+    None when the subquery is uncorrelated (the bounded Lit path applies).
+
+    SQL empty-group semantics ride the LEFT join: no inner rows for an
+    outer key → NULL (COUNT → COALESCE 0)."""
+    if (sub.group_by or sub.qualify or sub.order_by or sub.limit
+            or sub.distinct or len(sub.items) != 1):
+        return None
+    item_alias, e = sub.items[0]
+    if not _find_aggs(e):
+        return None
+    refs = [sub.frm] + [j.ref for j in sub.joins]
+    ref_cols = [_ref_columns(r, sf_dir) for r in refs]
+
+    def scope(node) -> str:
+        cols = _find(node, Col)
+        if not cols:
+            return "const"
+        inner = 0
+        for c in cols:
+            try:
+                _resolve_col(c, refs, ref_cols)
+                inner += 1
+            except (KeyError, ValueError):
+                pass
+        if inner == len(cols):
+            return "inner"
+        if inner == 0:
+            return "outer"
+        return "mixed"
+
+    corr = None
+    inner_conjs: list = []
+    for cj in (_conjuncts(sub.where) if sub.where is not None else []):
+        if isinstance(cj, Bin) and cj.op == "=" and corr is None:
+            s1, s2 = scope(cj.left), scope(cj.right)
+            if {s1, s2} == {"inner", "outer"}:
+                corr = ((cj.left, cj.right) if s1 == "inner"
+                        else (cj.right, cj.left))
+                continue
+        if scope(cj) in ("inner", "const"):
+            inner_conjs.append(cj)
+        else:
+            raise ValueError(
+                "unsupported scalar-subquery correlation (exactly one "
+                "equality correlation plus inner-only predicates)")
+    if corr is None:
+        return None  # uncorrelated → bounded Lit materialization
+    inner_e, outer_e = corr
+    if not isinstance(outer_e, Col):
+        raise ValueError("scalar-subquery correlation must compare a "
+                         "plain outer column")
+    if isinstance(e, Func) and e.name == "COUNT":
+        repl_expr: object = Func("COALESCE",
+                                 (Col(f"__cv{idx}"), Lit(0, "int")))
+    elif any(a.name == "COUNT" for a in _find_aggs(e)):
+        # a COUNT buried in an expression would need 0 (not NULL) on
+        # empty groups — the LEFT join can't express that per-term
+        raise ValueError("correlated scalar subquery: COUNT must be the "
+                         "whole select expression")
+    else:
+        repl_expr = Col(f"__cv{idx}")
+    key_sel = Select(
+        items=[(f"__ck{idx}", inner_e), (f"__cv{idx}", e)],
+        frm=sub.frm, joins=sub.joins,
+        where=_and_all(inner_conjs) if inner_conjs else None,
+        group_by=[inner_e])
+    join = JoinSpec("left", TableRef(None, f"__corr{idx}", key_sel),
+                    Bin("=", outer_e, Col(f"__ck{idx}")))
+    return join, repl_expr
+
+
 def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
                             broadcast_rows: int) -> Select:
     """Replace ScalarSub → Lit and InSubquery → InSet throughout the
     statement's expressions (uncorrelated subqueries only — a correlated
-    column fails resolution inside the subquery's own plan)."""
+    column fails resolution inside the subquery's own plan). A CORRELATED
+    scalar aggregate subquery instead decorrelates into a LEFT-joined
+    per-key pre-aggregate (_try_decorrelate_scalar)."""
     repl: dict = {}
     targets = [e for _, e in sel.items] + list(sel.group_by)
     if sel.where is not None:
@@ -1603,9 +1681,16 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         targets.append(sel.qualify)
     targets += [e for e, _ in sel.order_by]
     targets += [j.on for j in sel.joins if j.on is not None]
+    new_joins: List[JoinSpec] = []
     for n in targets:
         for s in _walk(n):
             if isinstance(s, ScalarSub) and s not in repl:
+                dec = _try_decorrelate_scalar(s.sel, sf_dir, len(new_joins))
+                if dec is not None:
+                    join, expr = dec
+                    new_joins.append(join)
+                    repl[s] = expr
+                    continue
                 repl[s] = _scalar_sub_lit(s.sel, sf_dir, num_buckets,
                                           broadcast_rows)
             elif isinstance(s, InSubquery) and s not in repl:
@@ -1621,7 +1706,7 @@ def _materialize_subqueries(sel: Select, sf_dir: str, num_buckets: int,
         frm=sel.frm,
         joins=[JoinSpec(j.kind, j.ref,
                         _replace(j.on, repl) if j.on is not None else None)
-               for j in sel.joins],
+               for j in sel.joins] + new_joins,
         where=_replace(sel.where, repl) if sel.where is not None else None,
         group_by=[_replace(g, repl) for g in sel.group_by],
         having=_replace(sel.having, repl) if sel.having is not None else None,

@@ -737,6 +737,28 @@ def test_rollup_cube_grouping_sets(con):
         "HAVING COUNT(*) > 100"))
 
 
+def test_correlated_scalar_subquery(con):
+    """Correlated scalar aggregate subqueries (round-5) decorrelate into
+    a LEFT-joined per-key pre-aggregate: SELECT-list MAX, COUNT with the
+    0-not-NULL empty-group rule, and the TPC-H Q17 WHERE-clause shape."""
+    run_both(con, (
+        "SELECT c_custkey, "
+        "(SELECT CAST(MAX(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "AS max_cents FROM customer c"))
+    # inner-only predicate leaves some customers with zero matches:
+    # COUNT must yield 0 there, not NULL
+    run_both(con, (
+        "SELECT c_custkey, "
+        "(SELECT COUNT(*) AS n FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) "
+        "AS n_big FROM customer c"))
+    run_both(con, (
+        "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l "
+        "WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) "
+        "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"))
+
+
 def test_grouping_sets_reject_distinct(con):
     """DISTINCT / quantile aggregates cannot re-aggregate from the
     finest grain — clear error instead of wrong numbers."""
