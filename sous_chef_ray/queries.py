@@ -2515,6 +2515,40 @@ def pack_training_sequences(sf_dir: str):
     return df.sort_values(["seq_id", "n_tokens"]).reset_index(drop=True)
 
 
+_CHUNK_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(g.c AS BIGINT) AS chunk_id,
+       ws[g.c * 15 + 1 : least(g.c * 15 + 20, len(ws))] AS words,
+       CAST(least(20, len(ws) - g.c * 15) AS INT) AS n_words
+FROM words,
+     UNNEST(generate_series(0, CAST((len(ws) - 1) // 15 AS BIGINT))) AS g(c)
+"""
+
+
+@register("chunk_doc_word_windows", _CHUNK_SQL)
+def chunk_doc_word_windows(sf_dir: str):
+    """Sliding-window context chunking (stages/pack.chunk_token_windows):
+    each document's word list is cut into window=20 chunks starting every
+    stride=15 words (overlapping; last chunk is the remainder) — the
+    context-window prep step between tokenization and training. One
+    ragged-arange gather per batch; shard-parallel, no shuffle."""
+    from sous_chef_ray.stages.pack import chunk_token_windows
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        ws = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t["text"]))
+        return pa.table({"doc_id": t["doc_id"], "words": ws})
+
+    ds = docs.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return chunk_token_windows(ds, "words", window=20, stride=15,
+                               id_cols=["doc_id"])
+
+
 _NORMALIZE_SQL = r"""
 SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
 FROM documents

@@ -82,6 +82,66 @@ def pack_sequences(
                           zero_copy_batch=True)
 
 
+def chunk_token_windows(
+    ds: "rd.Dataset",
+    tokens_col: str = "tokens",
+    window: int = 2048,
+    stride: int = 2048,
+    id_cols: "list[str] | None" = None,
+) -> "rd.Dataset":
+    """Per-document sliding-window chunking — the context-window prep
+    step between tokenization and training: each document's token list
+    is cut into chunks of ``window`` items starting every ``stride``
+    (stride < window ⇒ overlapping chunks; the last chunk is the
+    remainder). Zero-length docs emit zero chunks.
+
+    Vectorized per batch: one ragged-arange index gather over the list
+    child values (works for any list value type — int32 tokens or word
+    strings); no Python loop over documents. Shard-parallel and
+    deterministic, so it scales like pack_sequences.
+
+    Output: id_cols + chunk_id:int64 (0-based within doc) + tokens_col
+    (the slice) + n_<tokens_col>:int32."""
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    id_cols = list(id_cols) if id_cols is not None else []
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col].combine_chunks() if len(t) else t[tokens_col]
+        out_type = pa.list_(col.type.value_type)
+        if len(t) == 0:
+            cols = {c: t[c] for c in id_cols}
+            cols["chunk_id"] = pa.array([], type=pa.int64())
+            cols[tokens_col] = pa.array([], type=out_type)
+            cols[f"n_{tokens_col}"] = pa.array([], type=pa.int32())
+            return pa.table(cols)
+        offs = np.asarray(col.offsets)
+        n = np.diff(offs).astype(np.int64)
+        n_chunks = np.where(n > 0, (n - 1) // stride + 1, 0)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_chunks)
+        chunk_id = _within_doc_index(n_chunks)
+        start = chunk_id * stride
+        length = np.minimum(window, n[doc_idx] - start)
+        gstart = offs[:-1][doc_idx] + start
+        lens_cum = np.zeros(len(length) + 1, dtype=np.int64)
+        np.cumsum(length, out=lens_cum[1:])
+        total = int(lens_cum[-1])
+        idx = (np.repeat(gstart, length)
+               + (np.arange(total, dtype=np.int64)
+                  - np.repeat(lens_cum[:-1], length)))
+        out_vals = col.values.take(pa.array(idx, type=pa.int64()))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(lens_cum), out_vals).cast(out_type)
+        didx = pa.array(doc_idx)
+        cols = {c: t[c].combine_chunks().take(didx) for c in id_cols}
+        cols["chunk_id"] = pa.array(chunk_id)
+        cols[tokens_col] = lists
+        cols[f"n_{tokens_col}"] = pa.array(length.astype(np.int32))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _within_doc_index(lengths: np.ndarray) -> np.ndarray:
     """[0..len0), [0..len1), ... concatenated (vectorized)."""
     total = int(lengths.sum())

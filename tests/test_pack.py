@@ -53,3 +53,59 @@ def test_pack_exact_multiple():
     out = pack_sequences(rd.from_arrow(tbl), "tokens", seq_len=64, eos_id=EOS).to_pandas()
     assert len(out) == 2
     assert out["complete"].all()
+
+
+def _chunk_ref(toks, window, stride):
+    """Python reference: per-doc sliding windows."""
+    out = []
+    for i, t in enumerate(toks):
+        t = list(map(int, t))
+        cid = 0
+        for s in range(0, len(t), stride):
+            out.append((i, cid, tuple(t[s:s + window]), min(window, len(t) - s)))
+            cid += 1
+    return out
+
+
+def test_chunk_windows_overlap_and_remainder():
+    from sous_chef_ray.stages.pack import chunk_token_windows
+
+    tbl, toks = _docs([10, 3, 0, 7, 1, 41])
+    out = chunk_token_windows(
+        rd.from_arrow(tbl), "tokens", window=5, stride=3, id_cols=["doc_id"],
+    ).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    got = [(int(r.doc_id), int(r.chunk_id),
+            tuple(int(x) for x in r.tokens), int(r.n_tokens))
+           for r in out.itertuples()]
+    assert got == _chunk_ref(toks, 5, 3)
+    # zero-length doc emits no chunks
+    assert 2 not in set(out["doc_id"])
+
+
+def test_chunk_windows_non_overlapping_conserves_tokens():
+    from sous_chef_ray.stages.pack import chunk_token_windows
+
+    tbl, toks = _docs([100, 64, 5, 0, 129])
+    out = chunk_token_windows(
+        rd.from_arrow(tbl), "tokens", window=64, stride=64, id_cols=["doc_id"],
+    ).to_pandas().sort_values(["doc_id", "chunk_id"])
+    # stride == window: chunks partition each doc exactly
+    for i, t in enumerate(toks):
+        rows = out[out["doc_id"] == i]
+        stream = [x for v in rows["tokens"] for x in v]
+        assert stream == list(map(int, t))
+    assert int(out["n_tokens"].sum()) == sum(len(t) for t in toks)
+
+
+def test_chunk_windows_string_lists():
+    from sous_chef_ray.stages.pack import chunk_token_windows
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "tokens": pa.array([["a", "b", "c", "d"], ["x"]],
+                           type=pa.list_(pa.string())),
+    })
+    out = chunk_token_windows(
+        rd.from_arrow(tbl), "tokens", window=3, stride=3, id_cols=["doc_id"],
+    ).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert [list(v) for v in out["tokens"]] == [["a", "b", "c"], ["d"], ["x"]]
