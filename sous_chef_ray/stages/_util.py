@@ -75,3 +75,24 @@ def nul_safe_key_strings(arr):
         return arr
     esc = pc.replace_substring(arr, "\x1f", "\x1fE")
     return pc.replace_substring(esc, "\x00", "\x1fZ")
+
+
+def adjacent_neq(col) -> "object":
+    """Null-aware boundary mask for a SORTED column: out[i] (length n-1)
+    is True iff row i+1 differs from row i under SQL grouping semantics
+    (NULL groups with NULL). A raw numpy ``a[1:] != a[:-1]`` turns NULL
+    into NaN/NaT where ``NaN != NaN`` is True, silently splitting a NULL
+    key run into one group per row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n < 2:
+        return np.zeros(max(0, n - 1), dtype=bool)
+    a, b = col.slice(1), col.slice(0, n - 1)
+    neq = pc.fill_null(pc.not_equal(a, b), False)  # null vs anything → null
+    null_edge = pc.xor(pc.is_null(a), pc.is_null(b))
+    return np.asarray(pc.or_(neq, null_edge))

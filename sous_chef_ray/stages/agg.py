@@ -16,6 +16,7 @@ import pandas as pd
 
 import ray.data as rd
 
+from sous_chef_ray.stages._util import adjacent_neq
 from sous_chef_ray.stages.partition import partition_apply
 
 
@@ -315,8 +316,7 @@ def struct_agg(
         if n:
             change[0] = True
             for k in keys:
-                kv = t[k].to_numpy(zero_copy_only=False)
-                change[1:] |= kv[1:] != kv[:-1]
+                change[1:] |= adjacent_neq(t[k])
         starts = np.nonzero(change)[0]
         offsets = pa.array(np.append(starts, n), type=pa.int32())
         struct = pa.StructArray.from_arrays(

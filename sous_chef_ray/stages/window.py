@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from sous_chef_ray.stages._util import adjacent_neq
 from sous_chef_ray.stages.partition import partition_apply
 
 
@@ -56,8 +57,7 @@ def _sorted_with_bounds(
     if n:
         key_change[0] = True
         for k in keys:
-            kv = t[k].to_numpy(zero_copy_only=False)
-            key_change[1:] |= kv[1:] != kv[:-1]
+            key_change[1:] |= adjacent_neq(t[k])
     group_start = np.maximum.accumulate(np.where(key_change, arange, 0))
     return t, key_change, group_start, arange
 
@@ -225,8 +225,7 @@ def with_last_value_peers(
         n = len(t)
         val_change = key_change.copy()
         for o in order:
-            ov = t[o].to_numpy(zero_copy_only=False)
-            val_change[1:] |= ov[1:] != ov[:-1]
+            val_change[1:] |= adjacent_neq(t[o])
         run_end = np.zeros(n, dtype=np.int64)
         if n:
             last = np.zeros(n, dtype=bool)

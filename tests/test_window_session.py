@@ -169,3 +169,41 @@ def test_struct_agg_list_of_structs():
     assert t["objs"][0].tolist() == [
         {"xx": 1, "yy": 10.0}, {"xx": 2, "yy": 20.0}, {"xx": 3, "yy": 30.0}]
     assert t["objs"][1].tolist() == [{"xx": 1, "yy": 10.0}, {"xx": 2, "yy": 20.0}]
+
+
+def test_null_partition_keys_group_together():
+    """SQL PARTITION BY groups NULL keys as ONE partition; a numpy
+    NaN != NaN boundary check silently splits them one-group-per-row
+    (round-5 ADVICE fix, stages/_util.adjacent_neq)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.agg import struct_agg
+    from sous_chef_ray.stages.window import (
+        with_rank, with_row_number, with_running_sum)
+
+    t = pa.table({
+        "k": pa.array([1, 1, None, None, None, 2], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+
+    rn = with_row_number(ds, "k", "v", name="rn", num_buckets=4).to_pandas()
+    nulls = rn[rn["k"].isna()].sort_values("v")
+    assert list(nulls["rn"]) == [1, 2, 3]
+
+    rk = with_rank(ds, "k", "v", name="r", num_buckets=4).to_pandas()
+    nulls = rk[rk["k"].isna()].sort_values("v")
+    assert list(nulls["r"]) == [1, 2, 3]
+
+    rs = with_running_sum(ds, "k", "v", "v", name="s",
+                          num_buckets=4).to_pandas()
+    nulls = rs[rs["k"].isna()].sort_values("v")
+    assert list(nulls["s"]) == [30, 70, 120]
+
+    sa = struct_agg(ds, "k", {"vv": "v"}, order_by="v", name="objs",
+                    num_buckets=4).to_pandas()
+    nulls = sa[sa["k"].isna()]
+    assert len(nulls) == 1
+    assert [d["vv"] for d in nulls["objs"].iloc[0]] == [30, 40, 50]
