@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+import sous_chef_ray.compat  # noqa: F401  (ray 2.49 hash-shuffle schema fix)
+
 from ray.data.aggregate import Count, Max, Min, Sum
 
 QUERIES = {}
@@ -5544,6 +5546,30 @@ SELECT o_orderstatus, o_orderpriority,
        AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS avg_cents
 FROM orders GROUP BY GROUPING SETS
     ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    # anti-join idiom with SAME-NAMED keys across derived tables: the
+    # right key must null-extend (not alias the left key) for unmatched
+    # preserved rows, so `p.user_id IS NULL` selects exactly the
+    # never-purchased users (round-5 ADVICE regression, both physical
+    # join paths keep a pre-join right-key copy)
+    "sql_execute_antijoin_samekey": """
+SELECT c.user_id, CAST(c.n AS BIGINT) AS n_clicks
+FROM (SELECT user_id, COUNT(*) AS n FROM events
+      WHERE event_type = 'click' GROUP BY user_id) c
+LEFT JOIN (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 200) p
+ON c.user_id = p.user_id
+WHERE p.user_id IS NULL
+""",
+    # same-named right key PROJECTED through a LEFT JOIN: NULL for
+    # unmatched rows, the key value for matched ones
+    "sql_execute_left_join_right_key": """
+SELECT c.user_id AS cu, p.user_id AS pu
+FROM (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click') c
+LEFT JOIN (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id
 """,
     # correlated scalar aggregate subquery (TPC-H Q17 shape): decorrelated
     # into a per-partkey AVG pre-aggregate LEFT-joined back; the inner

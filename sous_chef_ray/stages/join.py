@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+import sous_chef_ray.compat  # noqa: F401  (ray 2.49 hash-shuffle schema fix)
+
 
 from sous_chef_ray.stages._util import pool
 
@@ -39,6 +41,9 @@ def hash_join(
     right_on = (right_on,) if isinstance(right_on, str) else (
         tuple(right_on) if right_on else None
     )
+    # Empty input blocks would consume Ray's one-shot schema broadcast
+    # and leave sparse join partitions schemaless — worked around by the
+    # bundle filter installed in sous_chef_ray.compat (ray 2.49).
     return left.join(
         right,
         join_type=join_type,

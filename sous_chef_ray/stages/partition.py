@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
+import sous_chef_ray.compat  # noqa: F401  (ray 2.49 hash-shuffle schema fix)
+
 
 BUCKET_COL = "__bucket__"
 

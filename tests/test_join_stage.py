@@ -172,3 +172,45 @@ def test_dimindex_property_matches_pandas_merge():
         assert key(got) == key(exp)
 
     check()
+
+
+def test_hash_join_sparse_aggregate_sides():
+    """ray 2.49 hash-shuffle schema race (sous_chef_ray.compat): a
+    groupby emits schemaless empty blocks for sparse output partitions;
+    if one of them is shuffled into the join first, the side's schema
+    broadcast is consumed and sparse join partitions fail with
+    ArrowInvalid.  Pin the compat fix with parquet-sourced distinct
+    sides at 16 partitions (the shape that reproduced it)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from sous_chef_ray.stages.join import hash_join
+
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"k": [1, 2, 3, 4], "et": ["c", "c", "p", "c"]}),
+        d + "/e.parquet")
+
+    def side(val):
+        ds = rd.read_parquet(d + "/e.parquet", columns=["k", "et"])
+        ds = ds.map_batches(lambda t, v=val: t.filter(pc.equal(t["et"], v)),
+                            batch_format="pyarrow")
+        ds = ds.map_batches(lambda t: t.select(["k"]),
+                            batch_format="pyarrow")
+        ds = ds.groupby(["k"]).aggregate(Count(alias_name="__dn"))
+        return ds.map_batches(lambda t: t.drop_columns(["__dn"]),
+                              batch_format="pyarrow")
+
+    for _ in range(3):  # the failure was block-order dependent
+        right = side("p").map_batches(
+            lambda t: t.append_column("kk", t["k"]), batch_format="pyarrow")
+        out = hash_join(side("c"), right, on=["k"], right_on=["k"],
+                        join_type="left_outer", num_partitions=16)
+        df = out.to_pandas().sort_values("k")
+        assert list(df["k"]) == [1, 2, 4]
+        assert df["kk"].isna().all()
