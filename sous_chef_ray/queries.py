@@ -2842,6 +2842,20 @@ def doc_quality_scores(sf_dir: str):
     )
 
 
+@register("doc_compression_ratio")  # zlib not SQL-expressible → rows-only
+def doc_compression_ratio(sf_dir: str):
+    """zlib compression-ratio redundancy signal per document
+    (stages/text.add_compression_ratio — the Gopher/RefinedWeb
+    repetitive-text gate). Deterministic (fixed level-6, no dict);
+    value-level behavior is pinned in tests/test_text_dedup.py."""
+    from sous_chef_ray.stages.text import add_compression_ratio
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_compression_ratio(docs, "text").select_columns(
+        ["doc_id", "raw_bytes", "zlib_bytes", "compression_ratio"]
+    )
+
+
 _FPRINT_SQL = """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
 """

@@ -568,3 +568,28 @@ def test_bm25_matches_reference():
         assert list(sub["doc_id"]) == exp, (qid, list(sub["doc_id"]), exp)
         for did, sc in zip(sub["doc_id"], sub["score"]):
             assert abs(sc - score(qtext.split(), toks[did])) < 1e-9
+
+
+def test_compression_ratio_signal():
+    """Repetitive text compresses well below 1; high-entropy text does
+    not; empty text ratios 1.0 exactly; byte counts are exact zlib."""
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.text import add_compression_ratio
+
+    texts = ["spam " * 200, "the quick brown fox jumps over the lazy dog",
+             "", "a9X#q!Zw7$Lp@3eRt^Yu&8iOo*4sDf(6gHj)1kLz"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = add_compression_ratio(rd.from_arrow(t), "text").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        b = s.encode()
+        assert out["raw_bytes"][i] == len(b)
+        assert out["zlib_bytes"][i] == len(zlib.compress(b, 6))
+    assert out["compression_ratio"][0] < 0.05      # repetitive
+    assert out["compression_ratio"][3] > 0.8       # high entropy
+    assert out["compression_ratio"][2] == 1.0      # empty
