@@ -1884,6 +1884,21 @@ def embedding_neardup_pairs(sf_dir: str):
                               concurrency=2)
 
 
+@register("semdedup_embeddings")  # clustering not SQL-expressible → rows-only
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup (stages/similarity.semdedup, Abbas et al.
+    2023): spherical k-means clusters the embedding table, then a
+    per-cluster greedy cosine prune keeps the lowest-id member of every
+    near-duplicate group. All-pairs work stays inside clusters; the
+    driver sees only the k x d centroid table. Group-keep semantics and
+    partition invariance are pinned in tests/test_multimodal_lsh.py."""
+    from sous_chef_ray.stages.similarity import semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semdedup(emb, n_clusters=8, threshold=0.995, num_buckets=8)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 @register("embedding_neardup_pairs_lsh", _EMB_NEARDUP_SQL)
 def embedding_neardup_pairs_lsh(sf_dir: str):
     """Embedding-cosine near-dup pairs via the BUCKETED scale path

@@ -973,3 +973,114 @@ def _pq_rerank(corpus, qdf: pd.DataFrame, cand: pd.DataFrame, *,
         for j in order:
             rows.append((qid, nid[j], float(sims[j])))
     return pd.DataFrame(rows, columns=["qid", "neighbor_id", "cosine_sim"])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication — cluster, then prune
+# near-duplicates within each cluster (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_keep_rows(x: np.ndarray, threshold: float,
+                      chunk: int = 1024) -> "tuple[np.ndarray, np.ndarray]":
+    """Deterministic greedy scan over L2-NORMALIZED rows (ascending-id
+    order): row i is kept iff its max cosine to every EARLIER KEPT row
+    is <= threshold. Returns (keep mask, max-sim-to-kept per row).
+
+    The scan is inherently sequential, but each step is one vectorized
+    matvec against the kept matrix; rows are chunked so the
+    previously-kept similarities come from one (chunk x kept) matmul.
+    """
+    m, d = x.shape
+    keep = np.zeros(m, dtype=bool)
+    max_sim = np.zeros(m, dtype=np.float64)
+    kept_mat = np.empty((0, d), dtype=x.dtype)
+    for s in range(0, m, chunk):
+        blk = x[s:s + chunk]
+        prev = blk @ kept_mat.T if len(kept_mat) else None
+        local: list = []
+        for i in range(len(blk)):
+            mx = float(prev[i].max()) if prev is not None and prev.shape[1] else 0.0
+            if local:
+                mx = max(mx, float((blk[local] @ blk[i]).max()))
+            max_sim[s + i] = mx
+            if mx <= threshold:
+                local.append(i)
+                keep[s + i] = True
+        if local:
+            kept_mat = np.concatenate([kept_mat, blk[local]])
+    return keep, max_sim
+
+
+def semdedup(
+    corpus: "rd.Dataset",
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 8,
+    sample_rows: int = 20000,
+    seed: int = 13,
+    num_buckets: int = 32,
+) -> "rd.Dataset":
+    """Semantic dedup over an embedding column (SemDeDup): spherical
+    k-means over the whole corpus (distributed Lloyd, driver only sees
+    the k x d table), one streaming assignment pass, then a per-cluster
+    greedy prune — drop every vector whose cosine similarity to an
+    earlier-id KEPT vector in the same cluster exceeds ``threshold``,
+    so each semantic-duplicate group keeps exactly its lowest-id member.
+
+    Scale shape: all-pairs work is confined WITHIN clusters (the paper's
+    point — size ``n_clusters`` ~ corpus/expected-cluster-size so the
+    per-cluster matrices stay bounded); clusters shuffle once via the
+    bucketed partition_apply, embeddings never reach the driver, and the
+    greedy order is ascending id so the result is partition-invariant.
+
+    Returns (id_col, cluster:int64, keep:bool, max_kept_sim:float64).
+    """
+    from sous_chef_ray.stages.partition import partition_apply
+
+    centroids, _ = kmeans_fit_distributed(
+        corpus, emb_col=emb_col, n_centroids=n_clusters, iters=iters,
+        sample_rows=sample_rows, seed=seed, spherical=True)
+    cent_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _emb_matrix(t, emb_col)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cid = np.argmax(x @ c.T, axis=1)
+        return pa.table({id_col: t[id_col], emb_col: t[emb_col],
+                         "cluster": pa.array(cid, type=pa.int64())})
+
+    tagged = corpus.map_batches(assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # one bucket may hold several clusters: sort by (cluster, id),
+        # then scan each cluster run independently
+        idx = pc.sort_indices(t, sort_keys=[("cluster", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        cid = t["cluster"].to_numpy(zero_copy_only=False)
+        x = _emb_matrix(t, emb_col)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        n = len(t)
+        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+        ends = np.r_[starts[1:], n]
+        keep = np.zeros(n, dtype=bool)
+        sim = np.zeros(n, dtype=np.float64)
+        for s, e in zip(starts, ends):
+            keep[s:e], sim[s:e] = _greedy_keep_rows(x[s:e], threshold)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": t["cluster"],
+            "keep": pa.array(keep),
+            "max_kept_sim": pa.array(sim),
+        })
+
+    return partition_apply(tagged, ["cluster"], prune, num_buckets,
+                           batch_format="pyarrow")

@@ -560,3 +560,59 @@ def test_pq_recall_and_compression():
     assert pa.types.is_fixed_size_list(f) and f.list_size == 8
     assert f.value_type == pa.uint8()
     assert len(t) == len(pts)
+
+
+def test_semdedup_keeps_one_per_semantic_group():
+    """SemDeDup: within-cluster greedy prune keeps exactly the lowest-id
+    member of each planted near-duplicate group; far-apart groups are
+    untouched; result is partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    d = 16
+    # 6 well-separated anchor directions, 5 near-copies of each
+    anchors = rng.normal(size=(6, d))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    rows, gids = [], []
+    for g, a in enumerate(anchors):
+        for _ in range(5):
+            v = a + rng.normal(scale=0.01, size=d)  # cosine ~0.9999
+            rows.append(v / np.linalg.norm(v))
+            gids.append(g)
+    vecs = np.asarray(rows)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+
+    def run(nparts):
+        out = semdedup(rd.from_arrow(t).repartition(nparts),
+                       n_clusters=6, threshold=0.99,
+                       sample_rows=30, num_buckets=4).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    out = run(3)
+    gid = np.asarray(gids)
+    # contract: within each (semantic group, assigned cluster) exactly
+    # ONE member survives and it is the lowest id — dedup happens inside
+    # clusters, so a group split across clusters keeps one per cluster
+    # (the SemDeDup trade-off), never two inside the same cluster
+    for g in range(6):
+        sub = out[gid[out["vec_id"]] == g]
+        for c, grp in sub.groupby("cluster"):
+            kept = grp[grp["keep"]]
+            assert len(kept) == 1
+            assert kept["vec_id"].iloc[0] == grp["vec_id"].min()
+    # clustering pruned most of the 5x redundancy
+    assert out["keep"].sum() <= 12
+    # dropped rows record a near-1 similarity to their kept twin
+    assert (out.loc[~out["keep"], "max_kept_sim"] > 0.99).all()
+    # partition invariance
+    out2 = run(7)
+    assert out.equals(out2)
