@@ -5576,6 +5576,57 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY GROUPING SETS
     ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """,
+    # TPC-H Q14 shape: promo revenue share — join + conditional SUM,
+    # integer-cents on both sides for hash-exactness
+    "sql_execute_q14": """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01'
+  AND l.l_shipdate < DATE '1995-10-01'
+""",
+    # TPC-H Q16 shape: COUNT(DISTINCT) per group with a NOT IN
+    # LIKE-filtered subquery (synthetic supplier has s_name, not
+    # s_comment)
+    "sql_execute_q16": """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size_b,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 4, 7)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_name LIKE '%001%')
+GROUP BY p_brand, CAST(p_size AS BIGINT)
+""",
+    # TPC-H Q18 shape: large-volume customers via an IN over a
+    # HAVING-filtered grouped subquery
+    "sql_execute_q18": """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+""",
+    # TPC-H Q22 shape: substring-derived group key + uncorrelated scalar
+    # AVG subquery (auto-aliased) + decorrelated NOT EXISTS, all inside
+    # a derived table (synthetic customer has c_name, not c_phone)
+    "sql_execute_q22": """
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totacctbal
+FROM (SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE SUBSTRING(c_name, 17, 2) IN ('13','31','23','29','30','18','17')
+        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.00)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)) t
+GROUP BY cntrycode
+""",
     # anti-join idiom with SAME-NAMED keys across derived tables: the
     # right key must null-extend (not alias the left key) for unmatched
     # preserved rows, so `p.user_id IS NULL` selects exactly the

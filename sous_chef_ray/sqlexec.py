@@ -1488,6 +1488,10 @@ def _scalar_sub_lit(sub: Select, sf_dir: str, num_buckets: int,
     """Run an uncorrelated scalar subquery (bounded by contract) → Lit."""
     import ray.data as rd
 
+    if len(sub.items) == 1 and not sub.items[0][0]:
+        # `(SELECT AVG(x) FROM …)` — the output name is irrelevant for a
+        # scalar, so auto-alias instead of demanding one (TPC-H Q22 shape)
+        sub.items[0] = ("__scalar", sub.items[0][1])
     res = _execute_select(sub, sf_dir, num_buckets, broadcast_rows)
     if isinstance(res, rd.Dataset):
         res = res.limit(2).to_pandas()

@@ -953,3 +953,12 @@ def test_order_by_select_alias(con):
     run_both(con, (
         "SELECT o_orderkey, o_totalprice * 2 AS dbl FROM orders "
         "ORDER BY dbl DESC, o_orderkey LIMIT 6"))
+
+
+def test_scalar_subquery_auto_alias(con):
+    """Round-5: `(SELECT AVG(x) FROM …)` without an alias auto-aliases —
+    the TPC-H Q22 shape (scalar threshold inside a derived table)."""
+    run_both(con, (
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+        "WHERE c_acctbal > 0.00)"))
