@@ -1793,6 +1793,19 @@ def _plan_from(sel: Select, sf_dir: str, num_buckets: int,
         raise ValueError("duplicate table aliases in FROM clause")
     ref_cols = [_ref_columns(r, sf_dir) for r in refs]
 
+    # GROUP BY may name a SELECT-item alias (DuckDB/Snowflake extension,
+    # same contract as ORDER BY aliases): substitute the aliased
+    # expression IN PLACE (indices are stable — grouping sets reference
+    # group_by positions) unless the name is also a base column, which
+    # wins per SQL resolution rules
+    alias_exprs = {a.lower(): e for a, e in sel.items if a}
+    base_names = {n.lower() for cols in ref_cols for n in cols}
+    for gi, g in enumerate(sel.group_by):
+        if (isinstance(g, Col) and g.qual is None
+                and g.name.lower() in alias_exprs
+                and g.name.lower() not in base_names):
+            sel.group_by[gi] = alias_exprs[g.name.lower()]
+
     # resolve every column reference in the statement
     nodes = [e for _, e in sel.items] + list(sel.group_by)
     if sel.where is not None:

@@ -962,3 +962,16 @@ def test_scalar_subquery_auto_alias(con):
         "SELECT c_custkey, c_acctbal FROM customer "
         "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
         "WHERE c_acctbal > 0.00)"))
+
+
+def test_group_by_select_alias(con):
+    """Round-5: GROUP BY may name a SELECT-item alias (the DuckDB /
+    Snowflake extension, mirroring the ORDER BY alias rule); a name that
+    is also a base column still resolves to the base column."""
+    run_both(con, (
+        "SELECT SUBSTRING(c_name, 17, 2) AS code, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+        "GROUP BY code ORDER BY code"))
+    run_both(con, (
+        "SELECT CAST(p_size AS BIGINT) AS sz, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM part GROUP BY sz ORDER BY sz"))
