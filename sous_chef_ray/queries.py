@@ -5660,6 +5660,45 @@ FROM lineitem l
 WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
                       WHERE l2.l_partkey = l.l_partkey)
 """,
+    # TPC-H Q2 shape: correlated scalar MIN subquery compared with
+    # EQUALITY — pick the min-price row(s) per part (the synthetic
+    # schema has no partsupp; lineitem is the part↔supplier relation)
+    "sql_execute_q2": """
+SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+FROM lineitem l
+WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                           WHERE l2.l_partkey = l.l_partkey)
+  AND l.l_quantity > 40
+""",
+    # TPC-H Q11 shape: grouped SUM with a HAVING threshold that is an
+    # uncorrelated scalar subquery (fraction of the global total) —
+    # integer-cents on both sides for hash-exactness
+    "sql_execute_q11": """
+SELECT l_partkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+       > (SELECT 0.001 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          FROM lineitem)
+""",
+    # TPC-H Q12 shape: join + per-group conditional counts (the
+    # synthetic lineitem has no l_shipmode/commitdate; l_linestatus
+    # stands in as the group key, shipdate-year as the date window)
+    "sql_execute_q12": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1995-01-01'
+  AND l.l_shipdate < DATE '1996-01-01'
+GROUP BY l_linestatus
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides

@@ -993,6 +993,12 @@ def _to_f64(x):
     return pc.cast(x, pa.float64()) if not pa.types.is_float64(x.type) else x
 
 
+def _empty_frame(cols) -> pd.DataFrame:
+    """Zero-row frame with the given columns: the stand-in for Ray
+    aggregates over an EMPTY stream, which return zero-COLUMN tables."""
+    return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+
+
 def _to_string(x):
     if pa.types.is_string(x.type) or pa.types.is_large_string(x.type):
         return x
@@ -2608,7 +2614,19 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
         # no plain aggregates (quantile-/distinct-only, or bare GROUP BY
         # = DISTINCT): reduce to the distinct key set
         agg_t = slim.groupby(key_names).aggregate(
-            Count(alias_name="__gn")).to_pandas().drop(columns=["__gn"])
+            Count(alias_name="__gn")).to_pandas()
+        agg_t = agg_t.drop(columns=["__gn"], errors="ignore")
+    if key_names and not agg_t.shape[1]:
+        # Ray's hash aggregate over an EMPTY stream returns a
+        # zero-column table; rebuild the expected empty frame so the
+        # final projection still sees the group keys and agg columns
+        cols = list(key_names)
+        for a in plain:
+            nm = agg_col[a]
+            cols.append(nm)
+            if a.name == "AVG":
+                cols.append(nm + "_n")
+        agg_t = _empty_frame(cols)
 
     if distinct_aggs:
         # global DISTINCT aggregates: slim already carries the constant
@@ -2625,6 +2643,9 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
                 if sn:
                     agg_t[sn] = (dctx[sn].iloc[0] if len(dctx) else np.nan)
             else:
+                if not dctx.shape[1]:
+                    dctx = _empty_frame(
+                        [*key_names, cn, *([sn] if sn else [])])
                 agg_t = agg_t.merge(dctx, on=key_names, how="left")
                 agg_t[cn] = agg_t[cn].fillna(0).astype("int64")
         # derive each DISTINCT aggregate's output column from (cnt, sum)
@@ -2649,6 +2670,8 @@ def _execute_aggregate(ds, sel: Select, aggs: List[Func], num_buckets: int):
 
     for i, qt in enumerate(q_tables):
         if key_names:
+            if not qt.shape[1]:
+                qt = _empty_frame([*key_names, f"__qa{i}"])
             agg_t = agg_t.merge(qt, on=key_names, how="left")
         else:
             # empty input: global quantile is NULL, like SUM/AVG

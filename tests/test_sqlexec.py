@@ -975,3 +975,31 @@ def test_group_by_select_alias(con):
     run_both(con, (
         "SELECT CAST(p_size AS BIGINT) AS sz, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM part GROUP BY sz ORDER BY sz"))
+
+
+def test_empty_grouped_aggregate_keeps_schema(con):
+    """Round-5 regression: Ray's hash aggregate over an EMPTY stream
+    returns a zero-COLUMN table; the compiler must rebuild the expected
+    group-key + aggregate schema (the sf0.001 TPC-H Q22 shape, where the
+    derived table filters to zero rows)."""
+    import ray.data as rd
+
+    # plain aggregate path
+    sql = ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+           "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+           "AS cents FROM orders WHERE o_totalprice < -1 "
+           "GROUP BY o_orderstatus")
+    got = sql_execute(sql, SF)
+    if isinstance(got, rd.Dataset):
+        got = got.to_pandas()
+    assert len(got) == 0
+    assert sorted(got.columns) == ["cents", "n", "o_orderstatus"]
+    # distinct-aggregate and quantile merge paths over the empty stream
+    sql2 = ("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nd, "
+            "MEDIAN(o_totalprice) AS med FROM orders "
+            "WHERE o_totalprice < -1 GROUP BY o_orderstatus")
+    got2 = sql_execute(sql2, SF)
+    if isinstance(got2, rd.Dataset):
+        got2 = got2.to_pandas()
+    assert len(got2) == 0
+    assert sorted(got2.columns) == ["med", "nd", "o_orderstatus"]
