@@ -5699,6 +5699,50 @@ WHERE l.l_shipdate >= DATE '1995-01-01'
   AND l.l_shipdate < DATE '1996-01-01'
 GROUP BY l_linestatus
 """,
+    # TPC-H Q9 shape: five-relation join star (two hops deep: nation
+    # joins on a supplier column) + LIKE filter + EXTRACT(YEAR) group
+    # key; profit uses p_retailprice for the missing ps_supplycost
+    "sql_execute_q9": """
+SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+             - p_retailprice * l_quantity) * 100) AS BIGINT)) AS BIGINT)
+           AS profit_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+""",
+    # TPC-H Q20 shape: nested IN — the outer key set is itself a
+    # grouped HAVING subquery whose WHERE carries another IN subquery
+    "sql_execute_q20": """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN
+    (SELECT l_suppkey FROM lineitem
+     WHERE l_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'small%')
+     GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+""",
+    # TPC-H Q21 shape: EXISTS / NOT EXISTS with a `<>` correlation on
+    # top of the equality key (another supplier on the same order) —
+    # decorrelated to a per-key (min, max) broadcast (ExistsNeq)
+    "sql_execute_q21": """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_quantity > 45)
+GROUP BY s_name
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides

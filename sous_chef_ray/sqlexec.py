@@ -233,6 +233,20 @@ class InSet:
     null_is_false: bool = False
 
 
+@dataclass(eq=False)
+class ExistsNeq:
+    """Decorrelated EXISTS carrying ONE extra ``inner_col <> outer_expr``
+    conjunct (the TPC-H Q21 shape: another lineitem on the same order
+    from a DIFFERENT supplier). Per correlation key the inner relation
+    reduces to (min, max) of the compared column — a qualifying row
+    exists iff the key matches and (min <> v OR max <> v). The bounded
+    (key, min, max) table lives in the object store ONCE (ray.put)."""
+
+    key_operand: object  # outer expr of the equality correlation
+    val_operand: object  # outer expr compared by <>
+    table: object        # ray.ObjectRef of pa.Table(__k, __mn, __mx)
+
+
 @dataclass(frozen=True)
 class TableRef:
     """FROM-clause relation: a base parquet table or a derived table."""
@@ -1120,6 +1134,21 @@ def eval_expr(node, t: pa.Table):
                              pa.scalar(None, pa.bool_()))
         # NULL operand → NULL (pc.is_in maps null → false)
         return pc.if_else(pc.is_null(x), pa.scalar(None, pa.bool_()), out)
+    if isinstance(node, ExistsNeq):
+        import ray as _ray
+
+        tab = node.table
+        if isinstance(tab, _ray.ObjectRef):
+            tab = _ray.get(tab)  # shared-memory fetch, once per worker
+        k = eval_expr(node.key_operand, t)
+        v = eval_expr(node.val_operand, t)
+        idx = pc.index_in(k, value_set=tab["__k"].combine_chunks())
+        mn = pc.take(tab["__mn"].combine_chunks(), idx)
+        mx = pc.take(tab["__mx"].combine_chunks(), idx)
+        # EXISTS is two-valued: a NULL comparison (all-NULL inner values
+        # or a NULL outer operand) means no qualifying row → FALSE
+        hit = pc.or_kleene(pc.not_equal(mn, v), pc.not_equal(mx, v))
+        return pc.and_(pc.is_valid(idx), pc.fill_null(hit, False))
     if isinstance(node, Func):
         return _eval_func(node, t, sqlfns)
     raise ValueError(f"cannot evaluate node {node!r}")
@@ -1529,6 +1558,9 @@ def _in_subquery_set(node: InSubquery, sf_dir: str, num_buckets: int,
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         arr = pc.unique(arr)
+    elif res.schema() is None:
+        # Ray loses the schema on an empty stream: the IN set is empty
+        arr = pa.array([], type=pa.null())
     else:
         names = res.schema().names
         if len(names) != 1:
@@ -1568,6 +1600,7 @@ def _decorrelate_exists(node: Exists, sf_dir: str, num_buckets: int,
         return "mixed"
 
     corr = None
+    neq = None
     inner_conjs: list = []
     for cj in (_conjuncts(sub.where) if sub.where is not None else []):
         if isinstance(cj, Bin) and cj.op == "=" and corr is None:
@@ -1576,13 +1609,23 @@ def _decorrelate_exists(node: Exists, sf_dir: str, num_buckets: int,
                 corr = ((cj.left, cj.right) if s1 == "inner"
                         else (cj.right, cj.left))
                 continue
+        if isinstance(cj, Bin) and cj.op in ("<>", "!=") and neq is None:
+            s1, s2 = scope(cj.left), scope(cj.right)
+            if {s1, s2} == {"inner", "outer"}:
+                neq = ((cj.left, cj.right) if s1 == "inner"
+                       else (cj.right, cj.left))
+                continue
         if scope(cj) in ("inner", "const"):
             inner_conjs.append(cj)
         else:
             raise ValueError(
-                "unsupported EXISTS correlation (exactly one equality "
-                "correlation plus inner-only predicates is supported)")
+                "unsupported EXISTS correlation (one equality correlation "
+                "plus optionally one <> correlation plus inner-only "
+                "predicates is supported)")
     inner_where = _and_all(inner_conjs) if inner_conjs else None
+    if neq is not None and corr is None:
+        raise ValueError("a <> EXISTS correlation needs an accompanying "
+                         "equality correlation")
     if corr is None:
         probe = Select(items=[("__k", Col(ref_cols[0][0]))], frm=sub.frm,
                        joins=sub.joins, where=inner_where, limit=1)
@@ -1590,6 +1633,24 @@ def _decorrelate_exists(node: Exists, sf_dir: str, num_buckets: int,
         n = len(res) if isinstance(res, pd.DataFrame) else res.count()
         return Lit(n > 0, "bool")
     inner_e, outer_e = corr
+    if neq is not None:
+        import ray
+
+        n_inner, n_outer = neq
+        # bounded pre-aggregate: one row per distinct correlation key
+        agg_sel = Select(
+            items=[("__k", inner_e),
+                   ("__mn", Func("MIN", (n_inner,))),
+                   ("__mx", Func("MAX", (n_inner,)))],
+            frm=sub.frm, joins=sub.joins, where=inner_where,
+            group_by=[inner_e])
+        res = _execute_select(agg_sel, sf_dir, num_buckets, broadcast_rows)
+        if not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()
+        tab = pa.Table.from_pandas(res, preserve_index=False)
+        # a NULL correlation key matches nothing (EXISTS semantics)
+        tab = tab.filter(pc.is_valid(tab["__k"].combine_chunks()))
+        return ExistsNeq(outer_e, n_outer, ray.put(tab))
     key_sel = Select(items=[("__k", inner_e)], frm=sub.frm,
                      joins=sub.joins, where=inner_where)
     ins = _in_subquery_set(InSubquery(outer_e, key_sel, False), sf_dir,

@@ -1003,3 +1003,31 @@ def test_empty_grouped_aggregate_keeps_schema(con):
         got2 = got2.to_pandas()
     assert len(got2) == 0
     assert sorted(got2.columns) == ["med", "nd", "o_orderstatus"]
+
+
+def test_exists_neq_correlation(con):
+    """Round-5: EXISTS with `inner <> outer` on top of the equality
+    correlation (TPC-H Q21 shape) decorrelates to a per-key (min, max)
+    broadcast — exists iff the key matches and min <> v OR max <> v."""
+    run_both(con, (
+        "SELECT l1.l_orderkey, l1.l_suppkey FROM lineitem l1 "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND l1.l_quantity > 48"))
+    # NOT EXISTS + an inner-only predicate filtering before the min/max
+    run_both(con, (
+        "SELECT l1.l_orderkey, l1.l_linenumber FROM lineitem l1 "
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey AND l2.l_quantity > 30) "
+        "AND l1.l_quantity > 48"))
+
+
+def test_exists_neq_requires_equality(con):
+    from sous_chef_ray.sqlexec import sql_execute as ex
+
+    with pytest.raises(ValueError, match="equality correlation"):
+        ex("SELECT l1.l_orderkey FROM lineitem l1 "
+           "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+           "WHERE l2.l_suppkey <> l1.l_suppkey)", SF)
