@@ -2753,6 +2753,49 @@ def bm25_search_docs(sf_dir: str):
     return out
 
 
+_DSIR_SQL = """
+SELECT doc_id, CAST(SUM(s) AS BIGINT) AS dsir_score,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM (SELECT h.doc_id, sc.s
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)
+                       % 4096 AS b
+            FROM (SELECT doc_id,
+                         UNNEST(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+')) AS g
+                  FROM documents)
+            WHERE g <> '') h
+      JOIN (SELECT b, t_cnt * 1000000 // (r_cnt + 1) AS s
+            FROM (SELECT CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)
+                             % 4096 AS b,
+                         SUM(CASE WHEN src IN ('src0', 'src1', 'src2')
+                                  THEN 1 ELSE 0 END) AS t_cnt,
+                         SUM(CASE WHEN src IN ('src0', 'src1', 'src2')
+                                  THEN 0 ELSE 1 END) AS r_cnt
+                  FROM (SELECT source AS src,
+                               UNNEST(regexp_split_to_array(lower(text),
+                                      '[^a-z0-9]+')) AS g
+                        FROM documents)
+                  WHERE g <> ''
+                  GROUP BY b)) sc
+      ON h.b = sc.b)
+GROUP BY doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights(sf_dir: str):
+    """DSIR-style data selection (stages/dsir): hashed-unigram bucket
+    counts split target-vs-raw (two streaming passes, bounded bucket
+    table to the driver, weights broadcast once), integer-quantized
+    likelihood-ratio score per document — value-EXACT vs the DuckDB
+    oracle because every step is integer math on md5-derived buckets."""
+    from sous_chef_ray.stages.dsir import dsir_weights
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return dsir_weights(docs, ("src0", "src1", "src2"))
+
+
 _PSI_SQL = """
 WITH b AS (
   SELECT CAST(value >= 25 AS INT) + CAST(value >= 50 AS INT)
@@ -5796,6 +5839,12 @@ _WINDOW_PRIORITY = [
     "sql_execute_left_join_nonequi", "sql_execute_union_mixed",
     "sql_execute_agg_filter", "sql_execute_intersect_except",
     "sql_execute_topk_offset",
+    # round-5 TPC-H closure: all 22 query shapes now compile or verify;
+    # the ones exercising NEW decorrelations lead (Q21 ExistsNeq, Q20
+    # nested IN, Q2 correlated MIN, Q11 HAVING scalar threshold)
+    "sql_execute_q21", "sql_execute_q20", "sql_execute_q2",
+    "sql_execute_q11", "sql_execute_q9", "sql_execute_q12",
+    "dsir_importance_weights",
     # LLM-data §2.F, exact oracles
     "flagship_window_features", "doc_token_counts", "doc_bpe_token_counts",
     "doc_normalize_text", "doc_redact_pii", "doc_sentences",

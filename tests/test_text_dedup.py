@@ -593,3 +593,50 @@ def test_compression_ratio_signal():
     assert out["compression_ratio"][0] < 0.05      # repetitive
     assert out["compression_ratio"][3] > 0.8       # high entropy
     assert out["compression_ratio"][2] == 1.0      # empty
+
+
+def test_dsir_weights_exact_and_partition_invariant():
+    """DSIR importance scores (stages/dsir): integer-exact vs a direct
+    single-process recomputation, invariant to block layout, zero-gram
+    docs dropped."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sous_chef_ray.stages.dsir import dsir_weights
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "42", "love", "data"]
+    texts, srcs = [], []
+    for i in range(60):
+        k = int(rng.integers(0, 9))
+        texts.append(" -- ".join(rng.choice(vocab, size=k)))
+        srcs.append(f"src{int(rng.integers(0, 4))}")
+    t = pa.table({"doc_id": pa.array(range(60), type=pa.int64()),
+                  "text": pa.array(texts), "source": pa.array(srcs)})
+
+    B, SCALE, TGT = 4096, 1_000_000, {"src0", "src1"}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    tc, rc = np.zeros(B, np.int64), np.zeros(B, np.int64)
+    grams_of = []
+    for s, src in zip(texts, srcs):
+        gs = [bucket(g) for g in
+              __import__("re").split("[^a-z0-9]+", s.lower()) if g]
+        grams_of.append(gs)
+        for b in gs:
+            (tc if src in TGT else rc)[b] += 1
+    w = tc * SCALE // (rc + 1)
+    exp = {i: (int(sum(w[b] for b in gs)), len(gs))
+           for i, gs in enumerate(grams_of) if gs}
+
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = dsir_weights(ds, ("src0", "src1")).to_pandas()
+        got = {int(r.doc_id): (int(r.dsir_score), int(r.n_grams))
+               for r in out.itertuples()}
+        assert got == exp
