@@ -5786,6 +5786,11 @@ WHERE o.o_orderstatus = 'F'
                     AND l3.l_quantity > 45)
 GROUP BY s_name
 """,
+    # compiled parity for two more hand-built TPC-H plans: the SAME
+    # oracle SQL strings run through the compiler (Q13 left-join count
+    # distribution over a derived table; Q19 disjunctive OR groups)
+    "sql_execute_q13": _Q13_SQL,
+    "sql_execute_q19": _Q19_SQL,
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides
