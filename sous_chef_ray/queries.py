@@ -5791,6 +5791,29 @@ GROUP BY s_name
     # distribution over a derived table; Q19 disjunctive OR groups)
     "sql_execute_q13": _Q13_SQL,
     "sql_execute_q19": _Q19_SQL,
+    # TPC-H Q15 shape (CTE-free): argmax over a grouped derived table,
+    # the MAX threshold an uncorrelated scalar subquery over the same
+    # derived aggregate
+    "sql_execute_q15": """
+SELECT s.s_suppkey, s.s_name, rev_e4 / 10000.0 AS total_revenue
+FROM supplier s
+JOIN (SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey) rev
+ON s.s_suppkey = rev.l_suppkey
+WHERE rev_e4 = (SELECT MAX(rev_e4) FROM
+    (SELECT l_suppkey,
+            SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS rev_e4
+     FROM lineitem
+     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       AND l_shipdate < TIMESTAMP '1997-04-01'
+     GROUP BY l_suppkey) t)
+""",
 }
 
 # exercises the HASH join physical plan (broadcast disabled): both sides
